@@ -1,0 +1,122 @@
+package graft.blocking
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.text.TextOps._
+
+/** Stage B — salted multi-key candidate generation.
+  *
+  * Replaces the reference's O(n²) all-pairs nested-loop self-join
+  * (reference: src/core/cross_device_linker.py:114-128) with key-based
+  * blocking: normalized-text MinHash/LSH band keys ∪ exact `media_ref`
+  * keys. Hot blocks (shared assets — reference's shared-device noise,
+  * src/validation/synthetic_households.py:47) are capped at
+  * `maxBlockSize` with dropped-pair accounting (standard LSH practice;
+  * mirrors the reference's top-k degree bound,
+  * cross_device_linker.py:385-412) — never silent.
+  *
+  * Scale notes (10^12 docs): one shuffle to group keys, one
+  * shuffle-join to form pairs; AQE skew-join enabled by the session;
+  * block cap bounds the worst single-key fan-out at
+  * maxBlockSize²/2 pairs; candidate output is range-repartitioned by
+  * (doc_a, salt) so downstream stage-S work is balanced even when one
+  * doc appears in very many pairs.
+  */
+object Blocking {
+
+  final case class Cfg(
+      shingleN: Int = 4,
+      minhashK: Int = 48,
+      bands: Int = 12,
+      maxBlockSize: Int = 1000,
+      salts: Int = 16,
+      seed: Long = 42L
+  ) {
+    def rows: Int = minhashK / bands
+    require(minhashK % bands == 0, "minhashK must be divisible by bands")
+  }
+
+  /** Per-doc blocking keys: (doc_id, key_kind, block_key:long).
+    * key_kind ∈ {'lsh','media'}.
+    *
+    * MinHash shape: explode shingle hashes → one hash-aggregate with k
+    * min() exprs (see TextOps.minhashAggExprs for why not nested array
+    * combinators). The groupBy(doc_id) shuffle moves only k longs per
+    * doc thanks to partial aggregation. */
+  def docKeys(docs: DataFrame, cfg: Cfg): DataFrame = {
+    val texts = transform(
+      filter(col("spans"), s => s.getField("kind") === lit("text")),
+      s => s.getField("text")
+    )
+    val docText = normText(array_join(texts, " "))
+
+    val shingleRows = docs.select(
+      col("doc_id"),
+      explode(shingleHashes(charShingles(docText, cfg.shingleN))).as("h")
+    )
+    val aggs = minhashAggExprs(col("h"), cfg.minhashK, cfg.seed)
+    val sig = shingleRows
+      .groupBy("doc_id")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("doc_id"), minhashSigFromAgg(cfg.minhashK).as("sig"))
+
+    val lsh = sig
+      .select(col("doc_id"), explode(bandKeys(col("sig"), cfg.bands, cfg.rows)).as("block_key"))
+      .select(col("doc_id"), lit("lsh").as("key_kind"), col("block_key"))
+
+    val media = docs
+      .select(
+        col("doc_id"),
+        explode(
+          array_distinct(
+            transform(
+              filter(col("spans"), s => s.getField("kind") === lit("media")),
+              s => s.getField("media_ref")
+            )
+          )
+        ).as("media_ref")
+      )
+      .select(col("doc_id"), lit("media").as("key_kind"), xxhash64(lit("m"), col("media_ref")).as("block_key"))
+
+    lsh.unionByName(media)
+  }
+
+  /** Block-size census used for the cap and for the metrics table. */
+  def blockSizes(keys: DataFrame): DataFrame =
+    keys.groupBy("key_kind", "block_key").agg(count("*").as("block_n"))
+
+  /** Candidate pairs, canonical doc_a < doc_b, deduplicated across keys
+    * with a deterministic witness key (min (key_kind, block_key)) so the
+    * checkpointed table is byte-stable across reruns. */
+  def candidates(docs: DataFrame, cfg: Cfg): DataFrame = {
+    val keys = docKeys(docs, cfg)
+    val kept = keys
+      .join(blockSizes(keys).where(col("block_n") <= cfg.maxBlockSize), Seq("key_kind", "block_key"))
+      .select("key_kind", "block_key", "doc_id")
+
+    val a = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_a"))
+    val b = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_b"))
+    a.join(b, Seq("key_kind", "block_key"))
+      .where(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(struct(col("key_kind"), col("block_key"))).as("w"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("w.key_kind").as("key_kind"),
+        col("w.block_key").as("block_key"),
+        pmod(xxhash64(col("doc_a")), lit(cfg.salts)).cast("int").as("salt")
+      )
+      .repartitionByRange(col("doc_a"), col("salt"))
+  }
+
+  /** Metrics rows for dropped (over-cap) blocks: count and the estimated
+    * pair mass dropped — Σ n·(n−1)/2 over dropped blocks. */
+  def dropMetrics(keys: DataFrame, cfg: Cfg): DataFrame = {
+    val dropped = blockSizes(keys).where(col("block_n") > cfg.maxBlockSize)
+    dropped.agg(
+      count("*").cast("double").as("dropped_blocks"),
+      coalesce(sum(col("block_n") * (col("block_n") - 1) / 2), lit(0.0)).as("dropped_pairs_est")
+    )
+  }
+}

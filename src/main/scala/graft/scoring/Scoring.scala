@@ -1,0 +1,180 @@
+package graft.scoring
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.JaroWinklerExpr.jaroWinkler
+import graft.text.TextOps.normText
+
+/** Stage S — pairwise Fellegi-Sunter-style probabilistic scoring.
+  *
+  * Generalizes the reference's multi-signal link probability — a
+  * weighted mean of per-signal similarities squashed by a sigmoid
+  * (reference: src/core/cross_device_linker.py:143-216) — into a
+  * log-likelihood sum over field-agreement outcomes (Fellegi & Sunter
+  * 1969). Two fields, each with leveled outcomes:
+  *
+  *  - text: number of *distinct span instances on the weaker side*
+  *    that strongly match (Jaro-Winkler ≥ jwStrong or gated
+  *    Levenshtein). Using min(strong_a, strong_b) makes a single
+  *    borrowed span (the generator's cross-entity contamination, the
+  *    reference's shared-device noise,
+  *    src/validation/synthetic_households.py:47) contribute at most
+  *    level 1 — never the ≥2 level.
+  *  - media_ref: per-shared-asset log-likelihood with a document-
+  *    frequency cutoff: a rare shared asset is strong evidence
+  *    (u ∝ (df/N)²), an asset present in > maxDfFrac of docs (the
+  *    deliberately hot key) carries almost none (m ≈ u). This is the
+  *    unsupervised analog of per-value u-probabilities in FS.
+  *
+  * The decision gate requires ≈2 independent evidence units, so any
+  * single contaminated span (text OR media) cannot create a false
+  * edge — critical because stage C closes transitively and one false
+  * edge merges two whole entities.
+  *
+  * Everything is one Column tree over exploded span pairs: the JW
+  * kernel is a codegen'd Catalyst expression, `levenshtein` is built-in
+  * and gated behind the cheap JW pre-check, the FS terms are
+  * constant-folded literals. One hash-aggregate shuffle brings
+  * span-pair rows back to pair granularity.
+  */
+object Scoring {
+
+  final case class Weights(
+      jwStrong: Double = 0.84,
+      levStrong: Double = 0.80,
+      // text field levels: log(m/u) for strong_min ≥2 / ==1 / ==0
+      wText2: Double = 9.0,
+      wText1: Double = 4.0,
+      wText0: Double = -2.0,
+      // media: per shared asset, by document frequency
+      maxDfFrac: Double = 0.02,
+      wMediaRare: Double = 4.5,
+      wMediaCommon: Double = 0.3,
+      // both sides have media but share none
+      wMediaNone: Double = -1.0,
+      threshold: Double = 6.5
+  )
+
+  /** Per-doc representation: normalized text spans + distinct media
+    * refs annotated with their global document-frequency fraction.
+    * The media-df dictionary join is a shuffle join on media_ref (at
+    * planet scale the dictionary is itself large); at test scale AQE
+    * turns it into a broadcast join automatically. */
+  def docRep(docs: DataFrame): DataFrame = {
+    val n = docs.count().toDouble
+    val medias = docs.select(
+      col("doc_id"),
+      explode(
+        array_distinct(
+          transform(
+            filter(col("spans"), s => s.getField("kind") === lit("media")),
+            s => s.getField("media_ref")
+          )
+        )
+      ).as("media_ref")
+    )
+    val mediaDf = medias.groupBy("media_ref").agg((count(lit(1)) / lit(n)).as("dffrac"))
+    val mediaRep = medias
+      .join(mediaDf, "media_ref")
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("media_ref"), col("dffrac"))).as("medias"))
+
+    docs
+      .select(
+        col("doc_id"),
+        transform(
+          filter(col("spans"), s => s.getField("kind") === lit("text")),
+          s => normText(s.getField("text"))
+        ).as("texts")
+      )
+      .join(mediaRep, Seq("doc_id"), "left")
+      .withColumn(
+        "medias",
+        coalesce(col("medias"), array().cast("array<struct<media_ref:string,dffrac:double>>"))
+      )
+  }
+
+  private def mediaScore(w: Weights): Column = {
+    val shared = array_intersect(col("medias_a"), col("medias_b"))
+    val sumShared = aggregate(
+      shared,
+      lit(0.0),
+      (acc, x) =>
+        acc + when(x.getField("dffrac") <= lit(w.maxDfFrac), lit(w.wMediaRare))
+          .otherwise(lit(w.wMediaCommon))
+    )
+    when(size(col("medias_a")) > 0 && size(col("medias_b")) > 0 && size(shared) === 0, lit(w.wMediaNone))
+      .otherwise(sumShared)
+  }
+
+  /** Score candidate pairs. `candidates`: (doc_a, doc_b, ...);
+    * `docs`: input-hint shape. Output: ScoredPair schema. */
+  def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame = {
+    val rep = docRep(docs)
+    val repA = rep.select(col("doc_id").as("doc_a"), col("texts").as("texts_a"), col("medias").as("medias_a"))
+    val repB = rep.select(col("doc_id").as("doc_b"), col("texts").as("texts_b"), col("medias").as("medias_b"))
+
+    val paired = candidates
+      .select("doc_a", "doc_b")
+      .join(repA, "doc_a")
+      .join(repB, "doc_b")
+      .withColumn("m_score", mediaScore(w))
+      .withColumn(
+        "media_jaccard",
+        when(
+          size(array_union(col("medias_a"), col("medias_b"))) > 0,
+          size(array_intersect(col("medias_a"), col("medias_b"))).cast("double") /
+            size(array_union(col("medias_a"), col("medias_b")))
+        ).otherwise(lit(0.0))
+      )
+
+    // Exploded span pairs (north rule): two Generate nodes, no shuffle.
+    val exA = paired.select(
+      col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
+      col("texts_b"),
+      posexplode_outer(col("texts_a")).as(Seq("ia", "ta"))
+    )
+    val spanPairs = exA.select(
+      col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
+      col("ia"), col("ta"),
+      posexplode_outer(col("texts_b")).as(Seq("ib", "tb"))
+    )
+
+    val sims = spanPairs
+      .withColumn("jw", jaroWinkler(col("ta"), col("tb")))
+      .withColumn(
+        "lev_sim",
+        // Levenshtein is O(len²); only pay for it on plausible pairs.
+        when(
+          col("jw") >= lit(0.70),
+          lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb")), lit(1))
+        ).otherwise(lit(0.0))
+      )
+      .withColumn("strong", col("jw") >= lit(w.jwStrong) || col("lev_sim") >= lit(w.levStrong))
+
+    val agg = sims
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        coalesce(max(col("jw")), lit(0.0)).as("jw_best"),
+        coalesce(max(col("lev_sim")), lit(0.0)).as("lev_best"),
+        max(col("m_score")).as("m_score"),
+        max(col("media_jaccard")).as("media_jaccard"),
+        count_distinct(when(col("strong"), col("ia"))).as("strong_a"),
+        count_distinct(when(col("strong"), col("ib"))).as("strong_b")
+      )
+      .withColumn("strong_min", least(col("strong_a"), col("strong_b")))
+
+    val textTerm = when(col("strong_min") >= 2, lit(w.wText2))
+      .when(col("strong_min") === 1, lit(w.wText1))
+      .otherwise(lit(w.wText0))
+
+    agg
+      .withColumn("score", textTerm + col("m_score"))
+      .withColumn("is_match", col("score") >= lit(w.threshold))
+      .select(
+        "doc_a", "doc_b", "score", "jw_best", "lev_best", "media_jaccard",
+        "strong_min", "is_match"
+      )
+  }
+}
