@@ -1,0 +1,70 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.schema.Fixture
+import graft.blocking.Blocking
+import graft.scoring.Scoring
+import graft.cluster.ConnectedComponents
+import graft.tools.Calibrate
+
+/** Identity-resolution pipeline exposed as driver queries. These run on
+  * the deterministic fixture (the driver testdata has no span-schema
+  * table — FIXTURES.md §1), so they carry no DuckDB oracle; correctness
+  * is enforced by the ScalaTest suite (pairwise F1 gate) and the
+  * invariant/oracle specs. Results are cached per (JVM, scale) so the
+  * driver's sequential query loop computes each stage once.
+  */
+object Resolution {
+
+  /** Map a testdata sf dir onto a fixture scale. */
+  def scaleFor(sfDir: String): String =
+    if (sfDir.contains("0.1")) "bench"
+    else if (sfDir.contains("0.01")) "t2"
+    else "t1"
+
+  final case class Staged(
+      docs: DataFrame,
+      labels: DataFrame,
+      candidates: DataFrame,
+      scored: DataFrame,
+      clusters: DataFrame,
+      ccIterations: Int
+  )
+
+  private val cache = scala.collection.concurrent.TrieMap.empty[String, Staged]
+
+  def staged(spark: SparkSession, scale: String): Staged =
+    cache.getOrElseUpdate(scale, {
+      val cfg = Fixture.scales(scale)
+      val (docsPath, labelsPath) = Fixture.ensureWritten(spark, scale)
+      val docs = spark.read.parquet(docsPath)
+      val labels = spark.read.parquet(labelsPath)
+      val cand = Blocking.candidates(docs, Blocking.Cfg()).persist()
+      val scored = Scoring.score(cand, docs).persist()
+      val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      val cc = ConnectedComponents.run(edges, docs.select("doc_id"))
+      Staged(docs, labels, cand, scored, cc.assignments.persist(), cc.iterations)
+    })
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "pir_candidates" -> ((s, dir) => staged(s, scaleFor(dir)).candidates),
+    "pir_scored_pairs" -> ((s, dir) => staged(s, scaleFor(dir)).scored),
+    "pir_clusters" -> ((s, dir) => staged(s, scaleFor(dir)).clusters),
+    "pir_cluster_sizes" -> ((s, dir) => {
+      staged(s, scaleFor(dir)).clusters
+        .groupBy("cluster_id")
+        .agg(count(lit(1)).as("n_docs"))
+        .groupBy("n_docs")
+        .agg(count(lit(1)).as("n_clusters"))
+    }),
+    // pairwise P/R/F1 vs generator ground truth, as a one-row DataFrame
+    "pir_quality" -> ((s, dir) => {
+      import s.implicits._
+      val st = staged(s, scaleFor(dir))
+      val (p, r, f1, pos, fp) =
+        Calibrate.pairwiseF1(Calibrate.clusterPairs(st.clusters, st.candidates), st.candidates, st.labels)
+      Seq((p, r, f1, pos, fp)).toDF("precision", "recall", "f1", "labeled_pos", "false_pos")
+    })
+  )
+}

@@ -21,11 +21,14 @@ object TextOps {
     trim(regexp_replace(regexp_replace(lower(c), "[^a-z0-9]+", " "), " +", " "))
 
   /** Character n-gram shingles of a (already normalized) string.
-    * Strings shorter than n yield the whole string as one shingle. */
+    * Non-empty strings shorter than n yield the whole string as one
+    * shingle; empty/null text yields NO shingles (otherwise every
+    * empty doc would share one degenerate MinHash signature and form a
+    * giant all-pairs block). */
   def charShingles(c: Column, n: Int): Column =
-    when(length(c) < n, array(c)).otherwise(
-      transform(sequence(lit(0), length(c) - n), i => c.substr(i + 1, lit(n)))
-    )
+    when(length(c) === 0, array().cast("array<string>"))
+      .when(length(c) < n, array(c))
+      .otherwise(transform(sequence(lit(0), length(c) - n), i => c.substr(i + 1, lit(n))))
 
   /** One 64-bit hash per shingle (xxhash64, codegen'd). */
   def shingleHashes(shingles: Column): Column =

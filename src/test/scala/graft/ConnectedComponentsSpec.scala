@@ -1,0 +1,81 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cluster.ConnectedComponents
+
+/** CC vs a BFS oracle (port of the reference's graph traversal,
+  * reference: src/core/identity_graph.py:278-314) on hand-built and
+  * seeded-random graphs. */
+class ConnectedComponentsSpec extends AnyFunSuite {
+
+  /** Driver-side BFS oracle: node -> min id of its component. */
+  private def bfsOracle(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
+    val adj = scala.collection.mutable.Map.empty[String, List[String]].withDefaultValue(Nil)
+    edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+    val label = scala.collection.mutable.Map.empty[String, String]
+    nodes.foreach { n =>
+      if (!label.contains(n)) {
+        val seen = scala.collection.mutable.Set(n)
+        val q = scala.collection.mutable.Queue(n)
+        while (q.nonEmpty) {
+          val u = q.dequeue()
+          adj(u).foreach(v => if (seen.add(v)) q.enqueue(v))
+        }
+        val m = seen.min
+        seen.foreach(v => label(v) = m)
+      }
+    }
+    label.toMap
+  }
+
+  private def runCC(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("doc_id")
+    val r = ConnectedComponents.run(e, n, maxIter = 30)
+    r.assignments.collect().map(row => row.getString(0) -> row.getString(1)).toMap
+  }
+
+  private def check(nodes: Seq[String], edges: Seq[(String, String)]): Unit =
+    assert(runCC(nodes, edges) == bfsOracle(nodes, edges))
+
+  test("chain") {
+    val n = (0 to 9).map(i => f"n$i%02d")
+    check(n, n.sliding(2).map(p => (p(0), p(1))).toSeq)
+  }
+
+  test("star") {
+    val n = (0 to 9).map(i => f"n$i%02d")
+    check(n, n.tail.map(x => (n.head, x)))
+  }
+
+  test("two components + singletons") {
+    val n = (0 to 9).map(i => f"n$i%02d")
+    check(n, Seq(("n00", "n01"), ("n01", "n02"), ("n05", "n06"), ("n06", "n07")))
+  }
+
+  test("self-loops and duplicate/reversed edges") {
+    val n = Seq("a", "b", "c", "d")
+    check(n, Seq(("a", "a"), ("a", "b"), ("b", "a"), ("c", "d"), ("c", "d")))
+  }
+
+  test("seeded random graphs match BFS oracle") {
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 3) {
+      val nNodes = 40 + trial * 20
+      val nodes = (0 until nNodes).map(i => f"n$i%03d")
+      val edges = (0 until nNodes).map { _ =>
+        (nodes(rnd.nextInt(nNodes)), nodes(rnd.nextInt(nNodes)))
+      }
+      check(nodes, edges)
+    }
+  }
+
+  test("cluster ids are component minimum (stable across reruns)") {
+    val nodes = Seq("z9", "m5", "a1", "q7")
+    val edges = Seq(("z9", "m5"), ("m5", "a1"))
+    val r = runCC(nodes, edges)
+    assert(r("z9") == "a1" && r("m5") == "a1" && r("a1") == "a1" && r("q7") == "q7")
+  }
+}

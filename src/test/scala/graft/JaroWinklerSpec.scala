@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.functions.{JW, JaroWinklerExpr}
+
+/** Golden values from Winkler's published examples (FIXTURES.md §4) +
+  * algebraic properties + interpreted-vs-codegen agreement. */
+class JaroWinklerSpec extends AnyFunSuite {
+
+  private val eps = 1e-6
+
+  test("golden values") {
+    assert(math.abs(JW.jaroWinkler("MARTHA", "MARHTA") - 0.961111) < 1e-4)
+    assert(math.abs(JW.jaroWinkler("DWAYNE", "DUANE") - 0.840000) < 1e-4)
+    assert(math.abs(JW.jaroWinkler("DIXON", "DICKSONX") - 0.813333) < 1e-4)
+    assert(math.abs(JW.jaro("MARTHA", "MARHTA") - 0.944444) < 1e-4)
+  }
+
+  test("edge cases") {
+    assert(JW.jaroWinkler("", "") == 1.0)
+    assert(JW.jaroWinkler("abc", "") == 0.0)
+    assert(JW.jaroWinkler("", "abc") == 0.0)
+    assert(JW.jaroWinkler("same", "same") == 1.0)
+    assert(JW.jaroWinkler("a", "b") == 0.0)
+  }
+
+  test("symmetry, identity, bounds (seeded property sweep)") {
+    val rnd = new scala.util.Random(42)
+    def word(): String = {
+      val n = rnd.nextInt(9)
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    for (_ <- 0 until 2000) {
+      val a = word(); val b = word()
+      val ab = JW.jaroWinkler(a, b)
+      val ba = JW.jaroWinkler(b, a)
+      assert(math.abs(ab - ba) < eps, s"$a/$b asymmetric")
+      assert(ab >= 0.0 && ab <= 1.0, s"$a/$b out of bounds")
+      assert(a.isEmpty || math.abs(JW.jaroWinkler(a, a) - 1.0) < eps)
+    }
+  }
+
+  test("expression (codegen path) agrees with the Scala kernel") {
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val pairs = Seq(
+      ("MARTHA", "MARHTA"), ("DWAYNE", "DUANE"), ("DIXON", "DICKSONX"),
+      ("", ""), ("abc", ""), ("hello world", "helo wrold"), ("x", "x")
+    )
+    val got = pairs.toDF("a", "b")
+      .select(col("a"), col("b"), JaroWinklerExpr.jaroWinkler(col("a"), col("b")).as("jw"))
+      .collect()
+    got.foreach { r =>
+      val expect = JW.jaroWinkler(r.getString(0), r.getString(1))
+      assert(math.abs(r.getDouble(2) - expect) < eps, s"${r.getString(0)}/${r.getString(1)}")
+    }
+  }
+
+  test("null-safe in SQL") {
+    val spark = SparkTestSession.spark
+    JaroWinklerExpr.register(spark)
+    val r = spark.sql("SELECT jaro_winkler('abc', CAST(NULL AS STRING)) AS jw").head()
+    assert(r.isNullAt(0))
+  }
+}

@@ -1,0 +1,78 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.schema.Fixture
+import graft.pipeline.Pipeline
+import graft.tools.Calibrate
+import java.nio.file.Files
+
+/** End-to-end gates (SURVEY.md §5.2): pairwise F1 ≥ 0.99 on labeled
+  * same-block pairs, partition coverage invariants, span-sequence
+  * invariant, and resume idempotency. */
+class PipelineSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val runDir = Files.createTempDirectory("graft_pipe_spec").toString
+  private lazy val result = {
+    val docs = Fixture.docs(spark, Fixture.scales("t1")).toDF().cache()
+    Pipeline.run(spark, docs, runDir)
+  }
+  private lazy val docs = Fixture.docs(spark, Fixture.scales("t1")).toDF().cache()
+  private lazy val labels = Fixture.labels(spark, Fixture.scales("t1")).toDF().cache()
+
+  test("every doc appears in exactly one cluster") {
+    val n = docs.count()
+    assert(result.clusters.count() == n)
+    assert(result.clusters.select("doc_id").distinct().count() == n)
+  }
+
+  test("cluster ids are members of their own cluster (min-id stability)") {
+    val bad = result.clusters
+      .groupBy("cluster_id").agg(min("doc_id").as("mn"))
+      .where(col("cluster_id") =!= col("mn"))
+      .count()
+    assert(bad == 0)
+  }
+
+  test("pairwise F1 >= 0.99 on labeled same-block pairs") {
+    val (p, r, f1, pos, fp) = Calibrate.pairwiseF1(
+      Calibrate.clusterPairs(result.clusters, result.candidates),
+      result.candidates,
+      labels
+    )
+    info(f"precision=$p%.4f recall=$r%.4f f1=$f1%.4f (pos=$pos fp=$fp)")
+    assert(f1 >= 0.99, f"pairwise F1 $f1%.4f below gate")
+  }
+
+  test("span-sequence invariant: pipeline outputs join back to untouched input spans") {
+    // the pipeline carries ids only; re-join clusters to source docs and
+    // verify the span sequence (kind, text, media_ref, offset order) is
+    // byte-identical to the generator's output for every doc.
+    val joined = result.clusters.join(docs, "doc_id")
+    assert(joined.count() == docs.count())
+    val h1 = docs.select(bit_xor(xxhash64(col("doc_id"), to_json(col("spans")))).as("h")).head().getLong(0)
+    val h2 = joined.select(bit_xor(xxhash64(col("doc_id"), to_json(col("spans")))).as("h")).head().getLong(0)
+    assert(h1 == h2)
+  }
+
+  test("resume is idempotent: rerun recomputes nothing and clusters are identical") {
+    val before = result.clusters.orderBy("doc_id").collect().toSeq
+    val t0 = System.nanoTime()
+    val second = Pipeline.run(spark, docs, runDir)
+    val resumeSec = (System.nanoTime() - t0) / 1e9
+    val after = second.clusters.orderBy("doc_id").collect().toSeq
+    assert(before == after)
+    assert(resumeSec < 30, f"resume took $resumeSec%.1f s — stages were recomputed")
+  }
+
+  test("lineage covers every stage; metrics recorded") {
+    val lineage = spark.read.parquet(s"$runDir/lineage")
+    val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).toSet
+    assert(stages == Set("candidates", "scored_pairs", "clusters"))
+    val metrics = spark.read.parquet(s"$runDir/metrics")
+    val names = metrics.select("name").collect().map(_.getString(0)).toSet
+    assert(names.contains("candidate_pairs") && names.contains("cc_iterations") && names.contains("dropped_pairs_est"))
+  }
+}
