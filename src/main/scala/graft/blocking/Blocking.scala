@@ -87,9 +87,22 @@ object Blocking {
 
   /** Candidate pairs, canonical doc_a < doc_b, deduplicated across keys
     * with a deterministic witness key (min (key_kind, block_key)) so the
-    * checkpointed table is byte-stable across reruns. */
-  def candidates(docs: DataFrame, cfg: Cfg): DataFrame = {
-    val keys = docKeys(docs, cfg)
+    * checkpointed table is byte-stable across reruns.
+    *
+    * `materialize` pins the per-doc key table before it is read three
+    * times (census + both self-join sides) — without it the whole
+    * MinHash subtree executes 3×, measured as 81% of end-to-end wall
+    * time at the bench scale. Locally a localCheckpoint; on a cluster
+    * this is the stage-B1 keys table checkpoint. */
+  def candidates(
+      docs: DataFrame,
+      cfg: Cfg,
+      materialize: DataFrame => DataFrame = _.localCheckpoint(true)
+  ): DataFrame =
+    candidatesFromKeys(materialize(docKeys(docs, cfg)), cfg)
+
+  /** Pair generation from an already-materialized key table. */
+  def candidatesFromKeys(keys: DataFrame, cfg: Cfg): DataFrame = {
     val kept = keys
       .join(blockSizes(keys).where(col("block_n") <= cfg.maxBlockSize), Seq("key_kind", "block_key"))
       .select("key_kind", "block_key", "doc_id")

@@ -1,0 +1,100 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.schema.Rng
+
+/** Similarity search over an embedding column (array<float>).
+  *
+  * Baseline: brute-force cosine top-k (block nested-loop self-join with
+  * the dot product as a higher-order-function fold — stays in
+  * whole-stage codegen). Scale path: random-hyperplane LSH bucketing —
+  * each vector hashes to a sign-bit bucket; only same-bucket (and
+  * optionally 1-bit-flip neighbor bucket) pairs are scored, turning the
+  * O(n²) join into an equi-join on bucket id. At 10^12 rows the bucket
+  * join shuffles on bucket id and AQE handles residual skew.
+  */
+object Similarity {
+
+  /** Cosine similarity of two double arrays (index-ordered fold —
+    * deterministic summation order). */
+  def cosine(a: Column, b: Column): Column = {
+    val dot = aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+    val na = aggregate(a, lit(0.0), (acc, v) => acc + v * v)
+    val nb = aggregate(b, lit(0.0), (acc, v) => acc + v * v)
+    // zero vectors → similarity 0 (and no ANSI divide-by-zero)
+    when(na > 0 && nb > 0, dot / (sqrt(na) * sqrt(nb))).otherwise(lit(0.0))
+  }
+
+  private def asDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Brute-force all-pairs cosine ≥ threshold. Input: (id, vec). */
+  def cosinePairs(vecs: DataFrame, threshold: Double): DataFrame = {
+    val a = vecs.select(col("id").as("id_a"), asDouble(col("vec")).as("v_a"))
+    val b = vecs.select(col("id").as("id_b"), asDouble(col("vec")).as("v_b"))
+    a.crossJoin(b)
+      .where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+
+  /** Brute-force top-k neighbors per query vector. */
+  def bruteForceTopK(vecs: DataFrame, k: Int): DataFrame = {
+    val a = vecs.select(col("id").as("id_a"), asDouble(col("vec")).as("v_a"))
+    val b = vecs.select(col("id").as("id_b"), asDouble(col("vec")).as("v_b"))
+    val scored = a.crossJoin(b)
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+    val w = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    scored
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("id_a", "id_b", "rank", "cos")
+  }
+
+  /** Deterministic random hyperplanes: nPlanes × dim doubles. */
+  private def planes(nPlanes: Int, dim: Int, seed: Long): Array[Array[Double]] =
+    Array.tabulate(nPlanes)(p =>
+      Array.tabulate(dim)(d => Rng.double(seed, 0x51a0L, p.toLong, d.toLong) * 2.0 - 1.0))
+
+  /** Sign-bit LSH bucket id for each vector. */
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
+    val ps = planes(nPlanes, dim, seed)
+    val bits = ps.toIndexedSeq.zipWithIndex.map { case (plane, i) =>
+      val dot = (0 until dim)
+        .map(d => vec.getItem(d).cast("double") * lit(plane(d)))
+        .reduce(_ + _)
+      when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
+    }
+    bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** LSH-bucketed near-neighbor pairs: only same-bucket pairs are
+    * scored (approximate; recall grows with fewer planes / multiple
+    * tables). Input: (id, vec). */
+  def lshCosinePairs(
+      vecs: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      tables: Int = 4,
+      seed: Long = 42L
+  ): DataFrame = {
+    val withBuckets = vecs.select(
+      col("id"),
+      asDouble(col("vec")).as("v"),
+      posexplode(array((0 until tables).map(t => lshBucket(col("vec"), nPlanes, dim, seed + t)): _*))
+        .as(Seq("table", "bucket"))
+    )
+    val a = withBuckets.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withBuckets.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
+  }
+}

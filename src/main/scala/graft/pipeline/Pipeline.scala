@@ -63,11 +63,14 @@ object Pipeline {
       spark.read.parquet(path)
     }
 
-    // Stage B
+    // Stage B — key table materialized once (lazily, only when the
+    // candidates checkpoint is absent), shared by the pair join and the
+    // drop-accounting metrics.
+    lazy val keys = Blocking.docKeys(docs, cfg.blocking).localCheckpoint(true)
     val candidates = stage(
       "candidates",
       out => {
-        val drops = Blocking.dropMetrics(Blocking.docKeys(docs, cfg.blocking), cfg.blocking).head()
+        val drops = Blocking.dropMetrics(keys, cfg.blocking).head()
         Seq(
           "candidate_pairs" -> out.count().toDouble,
           "dropped_blocks" -> drops.getDouble(0),
@@ -75,7 +78,7 @@ object Pipeline {
         )
       }
     ) {
-      Blocking.candidates(docs, cfg.blocking)
+      Blocking.candidatesFromKeys(keys, cfg.blocking)
     }
 
     // Stage S

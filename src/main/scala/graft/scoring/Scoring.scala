@@ -140,8 +140,14 @@ object Scoring {
       posexplode_outer(col("texts_b")).as(Seq("ib", "tb"))
     )
 
+    // length-ratio prefilter: jaro ≤ (min/max + 2)/3, so a pair with
+    // len ratio < 0.55 cannot clear jwStrong ≈ 0.85 — skip the O(n·w)
+    // kernel entirely for those span pairs.
+    val lenRatioOk =
+      least(length(col("ta")), length(col("tb"))) * 100 >=
+        greatest(length(col("ta")), length(col("tb"))) * 55
     val sims = spanPairs
-      .withColumn("jw", jaroWinkler(col("ta"), col("tb")))
+      .withColumn("jw", when(lenRatioOk, jaroWinkler(col("ta"), col("tb"))).otherwise(lit(0.0)))
       .withColumn(
         "lev_sim",
         // Levenshtein is O(len²); only pay for it on plausible pairs.
