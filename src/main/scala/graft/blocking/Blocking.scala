@@ -50,9 +50,12 @@ object Blocking {
     )
     val docText = normText(array_join(texts, " "))
 
-    val shingleRows = docs.select(
+    // the shingle/hash projection is the CPU-heavy stage — make sure it
+    // is not fused onto an under-parallel file scan
+    val src = graft.util.Parallelism.ensure(docs.select(col("doc_id"), docText.as("dt")))
+    val shingleRows = src.select(
       col("doc_id"),
-      explode(shingleHashes(charShingles(docText, cfg.shingleN))).as("h")
+      explode(shingleHashes(charShingles(col("dt"), cfg.shingleN))).as("h")
     )
     val aggs = minhashAggExprs(col("h"), cfg.minhashK, cfg.seed)
     val sig = shingleRows
@@ -64,7 +67,7 @@ object Blocking {
       .select(col("doc_id"), explode(bandKeys(col("sig"), cfg.bands, cfg.rows)).as("block_key"))
       .select(col("doc_id"), lit("lsh").as("key_kind"), col("block_key"))
 
-    val media = docs
+    val media = graft.util.Parallelism.ensure(docs)
       .select(
         col("doc_id"),
         explode(

@@ -1,0 +1,85 @@
+package graft.cluster
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Stage C2 — singleton attachment.
+  *
+  * After transitive clustering, docs left as singletons are usually
+  * real members whose every *pairwise* score fell just short of the
+  * edge gate (each pair shows only one shared phrase). Aggregating
+  * evidence doc-vs-cluster recovers them without reopening the
+  * contamination hole: attachment requires ≥ `minSpanBits` DISTINCT
+  * spans of the singleton strongly matched across the cluster's
+  * members (bit-OR of per-pair masks). A contaminated doc carries
+  * exactly one borrowed span, so its mask popcount against the foreign
+  * cluster is 1 — blocked — even though that one span matches many of
+  * the cluster's docs.
+  *
+  * This is the doc↔cluster analog of the reference's softmax
+  * session→person assignment after clustering
+  * (reference: src/core/probabilistic_resolver.py:448-470,
+  * household_inference.py:129-182): a second, aggregate-evidence pass
+  * over entities the pairwise stage left unassigned.
+  *
+  * Cluster ids are re-canonicalized to min(member) afterwards so
+  * resume stays byte-stable.
+  */
+object Attach {
+
+  /** @param clusters  (doc_id, cluster_id) from ConnectedComponents
+    * @param scored    stage-S output incl. mask_a/mask_b
+    * @param attachFloor minimum best pair score to consider at all
+    * @param minSpanBits distinct own-span matches required */
+  def attachSingletons(
+      clusters: DataFrame,
+      scored: DataFrame,
+      attachFloor: Double = 2.0,
+      minSpanBits: Int = 2
+  ): DataFrame = {
+    val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cl_n"))
+    val singles = clusters
+      .join(sizes, "cluster_id")
+      .where(col("cl_n") === 1)
+      .select(col("doc_id").as("u"))
+
+    // direct pairs from the singleton's perspective (both orientations)
+    val pa = scored.select(col("doc_a").as("u"), col("doc_b").as("v"), col("mask_a").as("um"), col("score"))
+    val pb = scored.select(col("doc_b").as("u"), col("doc_a").as("v"), col("mask_b").as("um"), col("score"))
+    val pairs = pa.unionByName(pb).where(col("score") >= lit(attachFloor))
+
+    val clOfV = clusters.select(col("doc_id").as("v"), col("cluster_id").as("cl_v"))
+
+    val evidence = pairs
+      .join(singles, "u")
+      .join(clOfV, "v")
+      .where(col("cl_v") =!= col("u")) // not its own singleton cluster
+      .groupBy("u", "cl_v")
+      .agg(
+        bit_count(bit_or(col("um"))).as("span_bits"),
+        max(col("score")).as("best_score"),
+        count(lit(1)).as("n_pairs")
+      )
+      .where(col("span_bits") >= minSpanBits)
+
+    // deterministic best target per singleton
+    val w = Window.partitionBy("u").orderBy(
+      col("span_bits").desc, col("best_score").desc, col("n_pairs").desc, col("cl_v")
+    )
+    val chosen = evidence
+      .withColumn("rk", row_number().over(w))
+      .where(col("rk") === 1)
+      .select(col("u").as("doc_id"), col("cl_v").as("new_cluster"))
+
+    val moved = clusters
+      .join(chosen, Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+
+    // re-canonicalize: cluster_id = min member doc_id (resume stability)
+    val relabel = moved.groupBy("cluster_id").agg(min("doc_id").as("canon"))
+    moved
+      .join(relabel, "cluster_id")
+      .select(col("doc_id"), col("canon").as("cluster_id"))
+  }
+}

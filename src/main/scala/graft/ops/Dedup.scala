@@ -37,7 +37,8 @@ object Dedup {
 
   /** Per-doc shingle-hash sets + MinHash band keys.
     * Input: (id, text); output: (id, hashes, band, band_key). */
-  private def bandedSigs(docs: DataFrame, cfg: MinHashCfg): DataFrame = {
+  private def bandedSigs(docs0: DataFrame, cfg: MinHashCfg): DataFrame = {
+    val docs = graft.util.Parallelism.ensure(docs0)
     val hashes = docs.select(
       col("id"),
       TextOps.shingleHashes(TextOps.charShingles(TextOps.normText(col("text")), cfg.shingleN)).as("hashes")
@@ -83,7 +84,8 @@ object Dedup {
   /** 64-bit SimHash per doc from whitespace tokens: per-bit vote sums
     * via 64 aggregate expressions (same plan shape as MinHash).
     * Output: (id, simhash). */
-  def simhash(docs: DataFrame): DataFrame = {
+  def simhash(docs0: DataFrame): DataFrame = {
+    val docs = graft.util.Parallelism.ensure(docs0)
     val tok = docs.select(
       col("id"),
       explode(split(TextOps.normText(col("text")), " ")).as("w")

@@ -103,8 +103,9 @@ object TextAnalysis {
     * window-min. Explode shingle hashes once, sliding min via a window
     * frame — hash computation runs exactly once per shingle and the
     * work distributes across the cluster (one shuffle on id). */
-  def fingerprintRows(docs: org.apache.spark.sql.DataFrame, k: Int = 5, w: Int = 8): org.apache.spark.sql.DataFrame = {
+  def fingerprintRows(docs0: org.apache.spark.sql.DataFrame, k: Int = 5, w: Int = 8): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    val docs = graft.util.Parallelism.ensure(docs0)
     val hashes = graft.text.TextOps.shingleHashes(graft.text.TextOps.charShingles(graft.text.TextOps.normText(col("text")), k))
     val ex = docs.select(col("id"), posexplode(hashes).as(Seq("pos", "h")))
     val frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.blocking.Blocking
 import graft.scoring.Scoring
-import graft.cluster.ConnectedComponents
+import graft.cluster.{Attach, ConnectedComponents}
 import graft.lineage.Lineage
 
 /** End-to-end three-stage resolution pipeline with per-stage
@@ -105,7 +105,10 @@ object Pipeline {
       val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val r = ConnectedComponents.run(edges, docs.select("doc_id"), cfg.ccMaxIter)
       ccIters = r.iterations
-      r.assignments.repartitionByRange(col("cluster_id"), col("doc_id"))
+      // C2: aggregate-evidence singleton attachment (see Attach)
+      Attach
+        .attachSingletons(r.assignments.localCheckpoint(true), scored)
+        .repartitionByRange(col("cluster_id"), col("doc_id"))
     }
 
     Result(candidates, scored, clusters, ccIters)

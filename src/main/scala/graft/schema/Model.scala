@@ -42,6 +42,8 @@ final case class ScoredPair(
     lev_best: Double,
     media_jaccard: Double,
     strong_min: Long,
+    mask_a: Long,   // bitmask of doc_a span indices strongly matched
+    mask_b: Long,   // bitmask of doc_b span indices strongly matched
     is_match: Boolean
 )
 

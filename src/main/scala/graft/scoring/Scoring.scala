@@ -60,7 +60,8 @@ object Scoring {
     * The media-df dictionary join is a shuffle join on media_ref (at
     * planet scale the dictionary is itself large); at test scale AQE
     * turns it into a broadcast join automatically. */
-  def docRep(docs: DataFrame): DataFrame = {
+  def docRep(docs0: DataFrame): DataFrame = {
+    val docs = graft.util.Parallelism.ensure(docs0)
     val n = docs.count().toDouble
     val medias = docs.select(
       col("doc_id"),
@@ -140,25 +141,31 @@ object Scoring {
       posexplode_outer(col("texts_b")).as(Seq("ib", "tb"))
     )
 
-    // length-ratio prefilter: jaro ≤ (min/max + 2)/3, so a pair with
-    // len ratio < 0.55 cannot clear jwStrong ≈ 0.85 — skip the O(n·w)
-    // kernel entirely for those span pairs.
-    val lenRatioOk =
-      least(length(col("ta")), length(col("tb"))) * 100 >=
-        greatest(length(col("ta")), length(col("tb"))) * 55
+    // Thresholded JW kernel: exact when ≥ 0.75 (the rescue-band floor,
+    // the lowest threshold scoring consults), 0.0 otherwise. The kernel
+    // short-circuits on a length bound and aborts the match scan once
+    // the remaining-characters bound falls below the cutoff — ~80% of
+    // span pairs are dissimilar and exit early, allocation-free.
     val sims = spanPairs
-      .withColumn("jw", when(lenRatioOk, jaroWinkler(col("ta"), col("tb"))).otherwise(lit(0.0)))
+      .withColumn("jw", graft.functions.JaroWinklerExpr.jaroWinklerGE(col("ta"), col("tb"), 0.75))
       .withColumn(
         "lev_sim",
-        // Levenshtein is O(len²); only pay for it on plausible pairs.
+        // Levenshtein is O(len²) and only matters as a RESCUE for the
+        // band jw ∈ [0.75, jwStrong): below it can't reach levStrong,
+        // at/above JW already decides. Profiling: unconditional lev at
+        // jw ≥ 0.70 was ~25% of stage-S CPU.
         when(
-          col("jw") >= lit(0.70),
+          col("jw") >= lit(0.75) && col("jw") < lit(w.jwStrong),
           lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
             greatest(length(col("ta")), length(col("tb")), lit(1))
         ).otherwise(lit(0.0))
       )
       .withColumn("strong", col("jw") >= lit(w.jwStrong) || col("lev_sim") >= lit(w.levStrong))
 
+    // distinct-matched-span counts as bit_or masks over the span index
+    // (na, nb ≤ 12 « 64): two count_distinct on different columns would
+    // force an Expand ×3 over the exploded span-pair stream — the bit
+    // masks keep this a single plain hash aggregate.
     val agg = sims
       .groupBy("doc_a", "doc_b")
       .agg(
@@ -166,9 +173,11 @@ object Scoring {
         coalesce(max(col("lev_sim")), lit(0.0)).as("lev_best"),
         max(col("m_score")).as("m_score"),
         max(col("media_jaccard")).as("media_jaccard"),
-        count_distinct(when(col("strong"), col("ia"))).as("strong_a"),
-        count_distinct(when(col("strong"), col("ib"))).as("strong_b")
+        coalesce(bit_or(when(col("strong"), expr("shiftleft(1L, ia)")).otherwise(0L)), lit(0L)).as("mask_a"),
+        coalesce(bit_or(when(col("strong"), expr("shiftleft(1L, ib)")).otherwise(0L)), lit(0L)).as("mask_b")
       )
+      .withColumn("strong_a", bit_count(col("mask_a")).cast("long"))
+      .withColumn("strong_b", bit_count(col("mask_b")).cast("long"))
       .withColumn("strong_min", least(col("strong_a"), col("strong_b")))
 
     val textTerm = when(col("strong_min") >= 2, lit(w.wText2))
@@ -180,7 +189,7 @@ object Scoring {
       .withColumn("is_match", col("score") >= lit(w.threshold))
       .select(
         "doc_a", "doc_b", "score", "jw_best", "lev_best", "media_jaccard",
-        "strong_min", "is_match"
+        "strong_min", "mask_a", "mask_b", "is_match"
       )
   }
 }

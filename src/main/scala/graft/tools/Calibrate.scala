@@ -104,6 +104,10 @@ object Calibrate {
     println(s"cc iterations=${cc.iterations} clusters=${cc.assignments.select("cluster_id").distinct().count()}")
     val (p, r, f1, pos, fp) = pairwiseF1(clusterPairs(cc.assignments, cand), cand, labels)
     println(f"clustered P=$p%.4f R=$r%.4f F1=$f1%.4f pos=$pos fp=$fp")
+    val att = graft.cluster.Attach.attachSingletons(cc.assignments.localCheckpoint(true), scored)
+    println(s"after attach: clusters=${att.select("cluster_id").distinct().count()}")
+    val (p2, r2, f12, pos2, fp2) = pairwiseF1(clusterPairs(att, cand), cand, labels)
+    println(f"attached  P=$p2%.4f R=$r2%.4f F1=$f12%.4f pos=$pos2 fp=$fp2")
     spark.stop()
   }
 }

@@ -41,6 +41,43 @@ class JaroWinklerSpec extends AnyFunSuite {
     }
   }
 
+  test("allocation-free byte path agrees with the char reference path") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(99)
+    def word(max: Int): String = {
+      val n = rnd.nextInt(max)
+      (0 until n).map(_ => ('a' + rnd.nextInt(26)).toChar).mkString
+    }
+    for (_ <- 0 until 3000) {
+      // spans both the <=64 fast path and the fallback
+      val a = word(if (rnd.nextBoolean()) 10 else 80)
+      val b = word(if (rnd.nextBoolean()) 10 else 80)
+      val fast = JW.jw(UTF8String.fromString(a), UTF8String.fromString(b))
+      val ref = JW.jaroWinkler(a, b)
+      assert(math.abs(fast - ref) < eps, s"'$a'/'$b' fast=$fast ref=$ref")
+    }
+    // non-ASCII falls back and still matches the char semantics
+    val ua = UTF8String.fromString("marthaé")
+    val ub = UTF8String.fromString("marhtaé")
+    assert(math.abs(JW.jw(ua, ub) - JW.jaroWinkler("marthaé", "marhtaé")) < eps)
+  }
+
+  test("thresholded kernel: exact at/above cutoff, zero below — never a false negative") {
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new scala.util.Random(123)
+    def word(max: Int): String = {
+      val n = rnd.nextInt(max)
+      (0 until n).map(_ => ('a' + rnd.nextInt(8)).toChar).mkString // small alphabet → many near-misses
+    }
+    for (cutoff <- Seq(0.7, 0.75, 0.84); _ <- 0 until 2000) {
+      val a = word(40); val b = if (rnd.nextBoolean()) word(40) else a.patch(rnd.nextInt(a.length max 1), "x", 1)
+      val exact = JW.jaroWinkler(a, b)
+      val gated = JW.jwGE(UTF8String.fromString(a), UTF8String.fromString(b), cutoff)
+      if (exact >= cutoff) assert(math.abs(gated - exact) < eps, s"'$a'/'$b' cutoff=$cutoff exact=$exact gated=$gated")
+      else assert(gated == 0.0 || math.abs(gated - exact) < eps, s"'$a'/'$b' gated=$gated exact=$exact")
+    }
+  }
+
   test("expression (codegen path) agrees with the Scala kernel") {
     val spark = SparkTestSession.spark
     import spark.implicits._
