@@ -99,9 +99,16 @@ object Bench {
     // stage walls are a breakdown of pir_e2e — don't double-count
     val total = results.filter { case (k, _) => k == "pir_e2e" || k.startsWith("q") }.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
-    println(
+    val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3}}"""
-    )
+    // belt-and-braces: the JSON also lands in a file (round 1's line was
+    // swallowed by sbt's "[info] " log decoration — parsed:null)
+    val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), json + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] write $outFile failed: ${e.getMessage}") }
     spark.stop()
+    // bare final stdout line, after Spark's shutdown chatter
+    println(json)
+    System.out.flush()
   }
 }

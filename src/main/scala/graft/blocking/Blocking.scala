@@ -121,7 +121,10 @@ object Blocking {
         col("doc_b"),
         col("w.key_kind").as("key_kind"),
         col("w.block_key").as("block_key"),
-        pmod(xxhash64(col("doc_a")), lit(cfg.salts)).cast("int").as("salt")
+        // salt over BOTH ids: a hot doc_a's pairs must spread across
+        // salt buckets (a doc_a-only salt is constant per hot doc and
+        // cannot split its pair mass)
+        pmod(xxhash64(col("doc_a"), col("doc_b")), lit(cfg.salts)).cast("int").as("salt")
       )
       .repartitionByRange(col("doc_a"), col("salt"))
   }

@@ -72,9 +72,27 @@ object Attach {
       .where(col("rk") === 1)
       .select(col("u").as("doc_id"), col("cl_v").as("new_cluster"))
 
+    // Mutual moves (u↔v) and chains (u→v→w) among singletons would
+    // cancel out in the min-member relabel (the swapped ids restore two
+    // separate singletons); resolve them with a mini connected
+    // components over the move edges. Every mover has out-degree
+    // exactly 1 and established clusters don't move, so a component
+    // contains at most ONE pre-existing cluster — this cannot
+    // transitively merge two established clusters.
+    val moveEdges = chosen
+      .select(col("doc_id").as("src"), col("new_cluster").as("dst"))
+      .localCheckpoint(true)
+    val vertices = moveEdges.select(col("src").as("doc_id"))
+      .union(moveEdges.select(col("dst").as("doc_id")))
+      .distinct()
+    val mapping = ConnectedComponents
+      .run(moveEdges, vertices)
+      .assignments
+      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged_cluster"))
+
     val moved = clusters
-      .join(chosen, Seq("doc_id"), "left")
-      .select(col("doc_id"), coalesce(col("new_cluster"), col("cluster_id")).as("cluster_id"))
+      .join(mapping, Seq("cluster_id"), "left")
+      .select(col("doc_id"), coalesce(col("merged_cluster"), col("cluster_id")).as("cluster_id"))
 
     // re-canonicalize: cluster_id = min member doc_id (resume stability)
     val relabel = moved.groupBy("cluster_id").agg(min("doc_id").as("canon"))

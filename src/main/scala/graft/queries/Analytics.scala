@@ -176,7 +176,7 @@ object Analytics {
              lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_us
            FROM events)
          SELECT user_id, count(*) AS n_events,
-           sum(CASE WHEN us - prev_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS n_sessions
+           CAST(sum(CASE WHEN us - prev_us > 1800000000 THEN 1 ELSE 0 END) + 1 AS BIGINT) AS n_sessions
          FROM g GROUP BY user_id""",
     "q4_segment_revenue" ->
       """SELECT c_mktsegment, count(*) AS n_orders,

@@ -87,8 +87,11 @@ object Analytics2 {
     //      per-row arithmetic only, no float accumulation ----
     "q16_drift_components" -> ((s, dir) => {
       val ev = t(s, dir, "events")
+      // floor() on both engines: Spark's cast("long") truncates while
+      // DuckDB's CAST AS BIGINT rounds — explicit floor keeps the
+      // half-split boundary identical for odd time ranges
       val mid = ev.agg(min(unix_micros(col("ts").cast("timestamp"))) +
-        ((max(unix_micros(col("ts").cast("timestamp"))) - min(unix_micros(col("ts").cast("timestamp")))) / 2).cast("long")).head().getLong(0)
+        floor((max(unix_micros(col("ts").cast("timestamp"))) - min(unix_micros(col("ts").cast("timestamp")))) / 2).cast("long")).head().getLong(0)
       val base = ev.where(unix_micros(col("ts").cast("timestamp")) < mid)
         .groupBy("event_type").agg(count(lit(1)).as("base_n"))
       val cur = ev.where(unix_micros(col("ts").cast("timestamp")) >= mid)
@@ -147,7 +150,7 @@ object Analytics2 {
            FROM (SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2))
          WHERE rk = 1""",
     "q16_drift_components" ->
-      """WITH b AS (SELECT min(epoch_us(ts)) + CAST((max(epoch_us(ts)) - min(epoch_us(ts))) / 2 AS BIGINT) AS mid FROM events),
+      """WITH b AS (SELECT min(epoch_us(ts)) + CAST(floor((max(epoch_us(ts)) - min(epoch_us(ts))) / 2) AS BIGINT) AS mid FROM events),
          base AS (SELECT event_type, count(*) AS base_n FROM events, b WHERE epoch_us(ts) < mid GROUP BY event_type),
          cur AS (SELECT event_type, count(*) AS cur_n FROM events, b WHERE epoch_us(ts) >= mid GROUP BY event_type)
          SELECT coalesce(base.event_type, cur.event_type) AS event_type,

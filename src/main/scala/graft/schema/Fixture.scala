@@ -186,7 +186,9 @@ object Fixture {
   def ensureWritten(
       spark: SparkSession,
       scale: String,
-      baseDir: String = "/root/repo/data/fixtures"
+      baseDir: String = sys.env.getOrElse(
+        "SPARK_GRAFT_FIXTURE_DIR",
+        new java.io.File("data/fixtures").getAbsolutePath)
   ): (String, String) = {
     val cfg = scales(scale)
     val docsPath = s"$baseDir/$scale/docs"

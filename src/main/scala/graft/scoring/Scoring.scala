@@ -55,14 +55,34 @@ object Scoring {
       threshold: Double = 6.5
   )
 
-  /** Per-doc representation: normalized text spans + distinct media
-    * refs annotated with their global document-frequency fraction.
+  /** Per-doc normalized text spans, truncated to 64 entries: the
+    * strong-span masks are 64-bit (`shiftleft(1L, ia)` wraps mod 64),
+    * so untruncated span indexes would silently alias. The fixture has
+    * ≤ ~9 spans; the cap only bites on pathological inputs. */
+  def textRep(docs0: DataFrame): DataFrame = {
+    val docs = graft.util.Parallelism.ensure(docs0)
+    docs.select(
+      col("doc_id"),
+      slice(
+        transform(
+          filter(col("spans"), s => s.getField("kind") === lit("text")),
+          s => normText(s.getField("text"))
+        ),
+        1, 64
+      ).as("texts")
+    )
+  }
+
+  /** Distinct media refs per doc annotated with their global document-
+    * frequency fraction. Only docs WITH media appear (join left +
+    * coalesce at the use site). The total doc count folds in as a
+    * 1-row cross join — no separate driver action (a `docs.count()`
+    * here would be a full extra input pass before scoring starts).
     * The media-df dictionary join is a shuffle join on media_ref (at
     * planet scale the dictionary is itself large); at test scale AQE
     * turns it into a broadcast join automatically. */
-  def docRep(docs0: DataFrame): DataFrame = {
+  def mediaRep(docs0: DataFrame): DataFrame = {
     val docs = graft.util.Parallelism.ensure(docs0)
-    val n = docs.count().toDouble
     val medias = docs.select(
       col("doc_id"),
       explode(
@@ -74,26 +94,22 @@ object Scoring {
         )
       ).as("media_ref")
     )
-    val mediaDf = medias.groupBy("media_ref").agg((count(lit(1)) / lit(n)).as("dffrac"))
-    val mediaRep = medias
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val mediaDf = medias
+      .groupBy("media_ref")
+      .agg(count(lit(1)).as("df"))
+      .crossJoin(total)
+      .select(col("media_ref"), (col("df") / col("n_docs")).as("dffrac"))
+    medias
       .join(mediaDf, "media_ref")
       .groupBy("doc_id")
-      .agg(collect_list(struct(col("media_ref"), col("dffrac"))).as("medias"))
-
-    docs
-      .select(
-        col("doc_id"),
-        transform(
-          filter(col("spans"), s => s.getField("kind") === lit("text")),
-          s => normText(s.getField("text"))
-        ).as("texts")
-      )
-      .join(mediaRep, Seq("doc_id"), "left")
-      .withColumn(
-        "medias",
-        coalesce(col("medias"), array().cast("array<struct<media_ref:string,dffrac:double>>"))
-      )
+      // sort_array: collect_list order is nondeterministic and the
+      // rare/common double sum in mediaScore is order-sensitive at ulp
+      // level — sorted arrays keep resumed checkpoints byte-stable
+      .agg(sort_array(collect_list(struct(col("media_ref"), col("dffrac")))).as("medias"))
   }
+
+  private val emptyMedias = array().cast("array<struct<media_ref:string,dffrac:double>>")
 
   private def mediaScore(w: Weights): Column = {
     val shared = array_intersect(col("medias_a"), col("medias_b"))
@@ -109,35 +125,52 @@ object Scoring {
   }
 
   /** Score candidate pairs. `candidates`: (doc_a, doc_b, ...);
-    * `docs`: input-hint shape. Output: ScoredPair schema. */
+    * `docs`: input-hint shape. Output: ScoredPair schema.
+    *
+    * Two independent branches joined at PAIR granularity:
+    *  - text: exploded span pairs (two Generate nodes, no shuffle) →
+    *    one hash aggregate back to pair grain. Rows carry only
+    *    (ids, span index, span text) — pair-constant payload is NOT
+    *    duplicated across the na×nb exploded stream (measured: the
+    *    duplicated media columns were the stage-S memory-bandwidth
+    *    ceiling at 32 threads, ~170 M copied rows at bench scale).
+    *  - media: computed once per pair, joined back on (doc_a, doc_b).
+    *    The aggregate output is already hash-partitioned on those keys,
+    *    so only the (much smaller) media side shuffles. */
   def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame = {
-    val rep = docRep(docs)
-    val repA = rep.select(col("doc_id").as("doc_a"), col("texts").as("texts_a"), col("medias").as("medias_a"))
-    val repB = rep.select(col("doc_id").as("doc_b"), col("texts").as("texts_b"), col("medias").as("medias_b"))
+    val pairs = candidates.select("doc_a", "doc_b")
 
-    val paired = candidates
-      .select("doc_a", "doc_b")
-      .join(repA, "doc_a")
-      .join(repB, "doc_b")
-      .withColumn("m_score", mediaScore(w))
-      .withColumn(
-        "media_jaccard",
+    // --- media branch: pair-grain, never exploded ---
+    val med = mediaRep(docs)
+    val medA = med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))
+    val medB = med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))
+    val mediaPair = pairs
+      .join(medA, Seq("doc_a"), "left")
+      .join(medB, Seq("doc_b"), "left")
+      .withColumn("medias_a", coalesce(col("medias_a"), emptyMedias))
+      .withColumn("medias_b", coalesce(col("medias_b"), emptyMedias))
+      .select(
+        col("doc_a"), col("doc_b"),
+        mediaScore(w).as("m_score"),
         when(
           size(array_union(col("medias_a"), col("medias_b"))) > 0,
           size(array_intersect(col("medias_a"), col("medias_b"))).cast("double") /
             size(array_union(col("medias_a"), col("medias_b")))
-        ).otherwise(lit(0.0))
+        ).otherwise(lit(0.0)).as("media_jaccard")
       )
 
-    // Exploded span pairs (north rule): two Generate nodes, no shuffle.
+    // --- text branch: slim exploded span pairs ---
+    val txt = textRep(docs)
+    val txtA = txt.select(col("doc_id").as("doc_a"), col("texts").as("texts_a"))
+    val txtB = txt.select(col("doc_id").as("doc_b"), col("texts").as("texts_b"))
+    val paired = pairs.join(txtA, "doc_a").join(txtB, "doc_b")
+
     val exA = paired.select(
-      col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
-      col("texts_b"),
+      col("doc_a"), col("doc_b"), col("texts_b"),
       posexplode_outer(col("texts_a")).as(Seq("ia", "ta"))
     )
     val spanPairs = exA.select(
-      col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
-      col("ia"), col("ta"),
+      col("doc_a"), col("doc_b"), col("ia"), col("ta"),
       posexplode_outer(col("texts_b")).as(Seq("ib", "tb"))
     )
 
@@ -171,8 +204,6 @@ object Scoring {
       .agg(
         coalesce(max(col("jw")), lit(0.0)).as("jw_best"),
         coalesce(max(col("lev_sim")), lit(0.0)).as("lev_best"),
-        max(col("m_score")).as("m_score"),
-        max(col("media_jaccard")).as("media_jaccard"),
         coalesce(bit_or(when(col("strong"), expr("shiftleft(1L, ia)")).otherwise(0L)), lit(0L)).as("mask_a"),
         coalesce(bit_or(when(col("strong"), expr("shiftleft(1L, ib)")).otherwise(0L)), lit(0L)).as("mask_b")
       )
@@ -185,6 +216,7 @@ object Scoring {
       .otherwise(lit(w.wText0))
 
     agg
+      .join(mediaPair, Seq("doc_a", "doc_b"))
       .withColumn("score", textTerm + col("m_score"))
       .withColumn("is_match", col("score") >= lit(w.threshold))
       .select(

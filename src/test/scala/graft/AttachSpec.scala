@@ -50,6 +50,29 @@ class AttachSpec extends AnyFunSuite {
     assert(out == Map("a0" -> "a0", "b5" -> "a0", "b6" -> "a0"))
   }
 
+  test("mutually-supported singleton pair merges (no swap-and-restore)") {
+    // u and v each pick the other's singleton cluster as best target;
+    // naive move+relabel would swap ids and restore two singletons
+    val clusters = df(Seq(("u1", "u1"), ("v2", "v2")))
+    val scored = scoredDF(Seq(("u1", "v2", 3.0, 3L, 3L)))
+    val out = Attach.attachSingletons(clusters, scored)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out == Map("u1" -> "u1", "v2" -> "u1"), s"mutual pair must merge: $out")
+  }
+
+  test("chained singleton moves resolve transitively") {
+    // a→b's cluster, b→c's cluster (c in a real cluster): all end up together
+    val clusters = df(Seq(("a1", "a1"), ("b2", "b2"), ("c3", "c3"), ("c4", "c3")))
+    val scored = scoredDF(Seq(
+      ("a1", "b2", 3.0, 3L, 3L),
+      ("b2", "c3", 4.0, 3L, 3L)
+    ))
+    val out = Attach.attachSingletons(clusters, scored)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.values.toSet.size == 1 && out.values.head == "a1",
+      s"chain must merge into one cluster labeled by min member: $out")
+  }
+
   test("no eligible evidence leaves clustering unchanged") {
     val clusters = df(Seq(("x1", "x1"), ("x2", "x2")))
     val scored = scoredDF(Seq(("x1", "x2", 1.0, 3L, 3L))) // below attach floor
