@@ -1,0 +1,205 @@
+package graft.attribution
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Multi-touch attribution over event streams — the reference's
+  * headline downstream consumer (reference:
+  * src/attribution/markov_engine.py:161-377, src/adapters/
+  * attribution_adapter.py:129-376).
+  *
+  * Distribution split: path construction and transition counting are
+  * data-parallel over users (the 100 TB part); the transition MATRIX is
+  * tiny (|channels| ≤ ~15), so absorption algebra runs on the driver —
+  * exactly the reference's shape, with the O(n)-over-events half moved
+  * onto Spark.
+  *
+  * Channel conventions (mirrors markov_engine.py:161-185):
+  * START → c1 → c2 → … → CONV (user converted) | NULL (user did not).
+  * A user's path is their event-type sequence ordered by (ts, event_id)
+  * up to but excluding the first conversion event.
+  */
+object Attribution {
+
+  val Start = "START"
+  val Conv = "CONV"
+  val Null = "NULL"
+
+  /** Per-user ordered channel paths: (user_id, path: array<string>,
+    * converted: boolean). Conversion events terminate the path and are
+    * not themselves channels. One shuffle (the window by user). */
+  def userPaths(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val withRn = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("rn", row_number().over(w))
+    val firstConv = withRn
+      .where(col("event_type") === convType)
+      .groupBy("user_id")
+      .agg(min("rn").as("conv_rn"))
+    withRn
+      .join(firstConv, Seq("user_id"), "left")
+      .groupBy("user_id")
+      .agg(
+        // conditional collect (collect_list drops nulls) so users whose
+        // FIRST event converts still get a row — their path is empty
+        // and their only transition is START→CONV. struct sort keeps
+        // the path in event order after collect_list's nondeterministic
+        // gather.
+        transform(
+          sort_array(collect_list(
+            when(col("conv_rn").isNull || col("rn") < col("conv_rn"), struct(col("rn"), col("event_type")))
+          )),
+          s => s.getField("event_type")
+        ).as("path"),
+        max(col("conv_rn").isNotNull).as("converted")
+      )
+  }
+
+  /** Distributed Markov transition counts over START+path+terminal
+    * (reference: markov_engine.py:161-185). Output: (src, dst, n). */
+  def transitionCounts(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val paths = userPaths(events, convType)
+    val full = paths.select(
+      concat(
+        array(lit(Start)),
+        col("path"),
+        array(when(col("converted"), lit(Conv)).otherwise(lit(Null)))
+      ).as("p")
+    )
+    // consecutive-pair explode: zip path with its own tail
+    full
+      .select(explode(zip_with(
+        slice(col("p"), lit(1), size(col("p")) - 1),
+        slice(col("p"), lit(2), size(col("p")) - 1),
+        (a, b) => struct(a.as("src"), b.as("dst"))
+      )).as("t"))
+      .groupBy(col("t.src").as("src"), col("t.dst").as("dst"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Path-based removal effects, fully distributed and SQL-expressible
+    * (the absorption-based variant below is the matrix analog):
+    * removal_effect(c) = P(conv lost if channel c removed)
+    *                   = (#converting users whose path contains c) / #converting users.
+    * Output: (channel, n_conv_with, total_conv, removal_effect). */
+  def removalEffectsPathBased(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val paths = userPaths(events, convType).where(col("converted"))
+    val total = paths.agg(count(lit(1)).as("total_conv"))
+    paths
+      .select(explode(array_distinct(col("path"))).as("channel"))
+      .groupBy("channel")
+      .agg(count(lit(1)).as("n_conv_with"))
+      .crossJoin(total)
+      .select(
+        col("channel"),
+        col("n_conv_with"),
+        col("total_conv"),
+        round(col("n_conv_with").cast("double") / col("total_conv"), 6).as("removal_effect")
+      )
+  }
+
+  // ------------------------------------------------------------------
+  // Driver-side matrix algebra (|channels| tiny — same split as the
+  // reference: counts distributed, algebra local).
+  // ------------------------------------------------------------------
+
+  /** First-order Markov chain from transition counts. Channels are the
+    * transient states; CONV/NULL absorb. */
+  final case class Chain(channels: Vector[String], p: Array[Array[Double]], pConv: Array[Double], pNull: Array[Double], pStart: Array[Double], startToConv: Double)
+
+  /** Build the row-stochastic chain (reference: markov_engine.py:187-234).
+    * `counts`: rows (src, dst, n) incl. START/CONV/NULL. */
+  def chainFromCounts(counts: Seq[(String, String, Long)]): Chain = {
+    val channels = counts
+      .flatMap(c => Seq(c._1, c._2))
+      .filter(s => s != Start && s != Conv && s != Null)
+      .distinct.sorted.toVector
+    val idx = channels.zipWithIndex.toMap
+    val k = channels.size
+    val outTotals = counts.groupBy(_._1).view.mapValues(_.map(_._3).sum.toDouble).toMap
+
+    def prob(src: String, dst: String): Double = {
+      val tot = outTotals.getOrElse(src, 0.0)
+      if (tot == 0) 0.0
+      else counts.collect { case (s, d, n) if s == src && d == dst => n.toDouble }.sum / tot
+    }
+
+    val p = Array.tabulate(k, k)((i, j) => prob(channels(i), channels(j)))
+    val pc = Array.tabulate(k)(i => prob(channels(i), Conv))
+    val pn = Array.tabulate(k)(i => prob(channels(i), Null))
+    val ps = Array.tabulate(k)(i => prob(Start, channels(i)))
+    Chain(channels, p, pc, pn, ps, prob(Start, Conv))
+  }
+
+  /** Overall conversion probability via absorption: solve
+    * (I − Q) x = R_conv for per-state absorption probs, then weight by
+    * START distribution (fundamental-matrix method,
+    * reference: markov_engine.py:236-264). Gaussian elimination — the
+    * system is ≤ 15×15. */
+  def conversionProbability(c: Chain): Double = {
+    val k = c.channels.size
+    if (k == 0) return c.startToConv
+    // A = I - Q, b = pConv
+    val a = Array.tabulate(k, k)((i, j) => (if (i == j) 1.0 else 0.0) - c.p(i)(j))
+    val b = c.pConv.clone()
+    val x = solve(a, b)
+    c.startToConv + (0 until k).map(i => c.pStart(i) * x(i)).sum
+  }
+
+  /** Removal effect per channel: redirect the channel's transitions to
+    * NULL and recompute absorption (reference: markov_engine.py:266-377).
+    * Returns channel → 1 − P(conv | channel removed)/P(conv). */
+  def removalEffects(c: Chain): Map[String, Double] = {
+    val pAll = conversionProbability(c)
+    if (pAll <= 0) return c.channels.map(_ -> 0.0).toMap
+    c.channels.zipWithIndex.map { case (ch, r) =>
+      val k = c.channels.size
+      // zero all flow INTO r (it redirects to NULL implicitly: rows no
+      // longer sum to 1, the missing mass absorbs into NULL) and all
+      // flow OUT of r
+      val p2 = Array.tabulate(k, k)((i, j) => if (i == r || j == r) 0.0 else c.p(i)(j))
+      val pc2 = Array.tabulate(k)(i => if (i == r) 0.0 else c.pConv(i))
+      val ps2 = Array.tabulate(k)(i => if (i == r) 0.0 else c.pStart(i))
+      val removed = Chain(c.channels, p2, pc2, c.pNull, ps2, c.startToConv)
+      ch -> math.max(0.0, 1.0 - conversionProbability(removed) / pAll)
+    }.toMap
+  }
+
+  /** Markov attribution: removal effects normalized to shares
+    * (markov_engine.py:329-377). */
+  def markovAttribution(c: Chain): Map[String, Double] = {
+    val re = removalEffects(c)
+    val tot = re.values.sum
+    if (tot <= 0) re else re.view.mapValues(_ / tot).toMap
+  }
+
+  /** Plain Gaussian elimination with partial pivoting (k ≤ ~15). */
+  private[graft] def solve(a0: Array[Array[Double]], b0: Array[Double]): Array[Double] = {
+    val n = b0.length
+    val a = a0.map(_.clone()); val b = b0.clone()
+    for (col <- 0 until n) {
+      var piv = col
+      for (r <- col + 1 until n) if (math.abs(a(r)(col)) > math.abs(a(piv)(col))) piv = r
+      val tmp = a(col); a(col) = a(piv); a(piv) = tmp
+      val tb = b(col); b(col) = b(piv); b(piv) = tb
+      val d = a(col)(col)
+      require(math.abs(d) > 1e-12, "singular system (I - Q) — chain has a closed transient loop")
+      for (r <- col + 1 until n) {
+        val f = a(r)(col) / d
+        if (f != 0.0) {
+          for (j <- col until n) a(r)(j) -= f * a(col)(j)
+          b(r) -= f * b(col)
+        }
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = b(r)
+      for (j <- r + 1 until n) s -= a(r)(j) * x(j)
+      x(r) = s / a(r)(r)
+    }
+    x
+  }
+}

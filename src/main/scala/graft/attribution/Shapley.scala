@@ -1,0 +1,116 @@
+package graft.attribution
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Shapley-value attribution (reference: src/attribution/
+  * shapley_engine.py:96-173) with the characteristic function the
+  * reference uses: v(S) = share of conversions whose touched-channel
+  * set is a subset of S.
+  *
+  * Distribution split: the coalition table (channel-set → conversion
+  * count) is built with one distributed aggregation over converting
+  * paths; there are at most 2^n distinct sets (n ≤ 12 guardrail,
+  * reference shapley_engine.py:67-75), so the Shapley sums run locally
+  * over a dense 2^n array (subset-sum zeta transform, O(2^n·n)).
+  * Monte Carlo permutation sampling fans out via spark.range.
+  */
+object Shapley {
+
+  val MaxChannels = 12
+
+  /** Distributed coalition counts: (channels: sorted distinct array,
+    * n_conversions). */
+  def coalitionCounts(events: DataFrame, convType: String = "purchase"): DataFrame =
+    Attribution.userPaths(events, convType)
+      .where(col("converted"))
+      .select(array_sort(array_distinct(col("path"))).as("channels"))
+      .groupBy("channels")
+      .agg(count(lit(1)).as("n_conversions"))
+
+  /** Dense v over all 2^n subsets: v[mask] = Σ counts of coalition sets
+    * ⊆ mask, normalized by total conversions. */
+  final case class Game(channels: Vector[String], v: Array[Double])
+
+  def game(coalitions: Seq[(Seq[String], Long)]): Game = {
+    val channels = coalitions.flatMap(_._1).distinct.sorted.toVector
+    require(channels.size <= MaxChannels, s"exact Shapley capped at $MaxChannels channels (got ${channels.size})")
+    val idx = channels.zipWithIndex.toMap
+    val n = channels.size
+    val v = new Array[Double](1 << n)
+    var total = 0.0
+    coalitions.foreach { case (chs, cnt) =>
+      val mask = chs.map(c => 1 << idx(c)).foldLeft(0)(_ | _)
+      v(mask) += cnt.toDouble
+      total += cnt.toDouble
+    }
+    // zeta transform: v[S] = Σ_{T ⊆ S} raw[T]
+    for (i <- 0 until n; mask <- 0 until (1 << n)) if ((mask & (1 << i)) != 0) v(mask) += v(mask ^ (1 << i))
+    if (total > 0) for (m <- v.indices) v(m) /= total
+    Game(channels, v)
+  }
+
+  /** Exact Shapley values, O(n·2^n) (shapley_engine.py:96-137). */
+  def exact(g: Game): Map[String, Double] = {
+    val n = g.channels.size
+    val fact = Array.iterate(1.0, n + 1)(x => x) // placeholder, filled below
+    fact(0) = 1.0
+    for (i <- 1 to n) fact(i) = fact(i - 1) * i
+    val phi = new Array[Double](n)
+    for (mask <- 0 until (1 << n); i <- 0 until n) if ((mask & (1 << i)) == 0) {
+      val s = Integer.bitCount(mask)
+      val w = fact(s) * fact(n - s - 1) / fact(n)
+      phi(i) += w * (g.v(mask | (1 << i)) - g.v(mask))
+    }
+    g.channels.zipWithIndex.map { case (c, i) => c -> phi(i) }.toMap
+  }
+
+  /** Monte Carlo Shapley via permutation sampling
+    * (shapley_engine.py:139-173), fanned out with spark.range — each
+    * sample index seeds its own RNG so the estimate is deterministic.
+    * Returns channel → (estimate, standard error). */
+  def monteCarlo(spark: SparkSession, g: Game, samples: Int, seed: Long = 42L): Map[String, (Double, Double)] = {
+    import spark.implicits._
+    val n = g.channels.size
+    if (n == 0) return Map.empty
+    val vB = spark.sparkContext.broadcast(g.v)
+    val contribs = spark.range(samples).mapPartitions { it =>
+      val v = vB.value
+      it.map { k =>
+        val rng = new java.util.Random(seed ^ (k * 0x9E3779B97F4A7C15L))
+        val perm = rng.ints(0, n).distinct().limit(n).toArray
+        var mask = 0
+        val row = new Array[Double](n)
+        perm.foreach { i =>
+          val before = v(mask); mask |= 1 << i
+          row(i) = v(mask) - before
+        }
+        row
+      }
+    }
+    val stats = contribs
+      .toDF("c")
+      .select((0 until n).map(i => col("c").getItem(i).as(s"c$i")): _*)
+      .agg(
+        (0 until n).flatMap(i => Seq(avg(col(s"c$i")).as(s"m$i"), stddev_samp(col(s"c$i")).as(s"s$i"))).head,
+        (0 until n).flatMap(i => Seq(avg(col(s"c$i")).as(s"m$i"), stddev_samp(col(s"c$i")).as(s"s$i"))).tail: _*
+      )
+      .head()
+    g.channels.zipWithIndex.map { case (c, i) =>
+      val m = stats.getAs[Double](s"m$i")
+      val s = Option(stats.getAs[Double](s"s$i")).getOrElse(0.0)
+      c -> (m, s / math.sqrt(samples.toDouble))
+    }.toMap
+  }
+
+  /** Hybrid blend H_i = α·markov_i + (1−α)·shapley_i, renormalized;
+    * returns shares summing to 1 (value conservation —
+    * reference: src/attribution/hybrid_engine.py:191-253). */
+  def hybrid(markov: Map[String, Double], shapley: Map[String, Double], alpha: Double): Map[String, Double] = {
+    require(alpha >= 0 && alpha <= 1, "alpha in [0,1]")
+    val keys = (markov.keySet ++ shapley.keySet).toSeq.sorted
+    val raw = keys.map(k => k -> (alpha * markov.getOrElse(k, 0.0) + (1 - alpha) * shapley.getOrElse(k, 0.0)))
+    val tot = raw.map(_._2).sum
+    if (tot <= 0) raw.toMap else raw.map { case (k, x) => k -> x / tot }.toMap
+  }
+}

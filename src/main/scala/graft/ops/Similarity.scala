@@ -73,7 +73,21 @@ object Similarity {
 
   /** LSH-bucketed near-neighbor pairs: only same-bucket pairs are
     * scored (approximate; recall grows with fewer planes / multiple
-    * tables). Input: (id, vec). */
+    * tables). Input: (id, vec).
+    *
+    * Parameter regimes (collision prob per plane p = 1 − θ/π):
+    *  - near-dup mining, cos ≥ 0.8 (θ ≤ 37°, p ≥ 0.8): defaults
+    *    (8 planes × 4 tables) → recall ≈ 1 − (1 − 0.8^8)^4 ≈ 0.53 at
+    *    the boundary and ≫ 0.9 above cos 0.9, pruning ≳ 99% of random
+    *    pairs — the intended 10^12-scale configuration.
+    *  - weak-similarity mining, cos ≥ 0.3 (θ ≈ 72°, p ≈ 0.6): use
+    *    nPlanes = 2, tables = 6 → recall ≈ 0.93 at the boundary, but
+    *    the filter only prunes ~18% of random pairs. That is not an
+    *    implementation defect: at p₁ ≈ 0.6 vs p₂ = 0.5 the LSH
+    *    exponent ρ = ln p₁ / ln p₂ ≈ 0.75 → near-linear candidate
+    *    sets; no hash family prunes aggressively this close to random.
+    *    op_ann_recall reports recall AND candidate_frac so regressions
+    *    in either direction are visible. */
   def lshCosinePairs(
       vecs: DataFrame,
       threshold: Double,

@@ -48,11 +48,67 @@ object OpsQueries {
         .where(col("shared_fp") >= 2)
     }),
 
-    // LSH-bucketed approximate cosine pairs (scale path of q11)
+    // LSH-bucketed approximate cosine pairs (scale path of q11).
+    // nPlanes/tables tuned for the weak-similarity threshold 0.30 —
+    // see Similarity.lshCosinePairs regime notes.
     "op_ann_lsh" -> ((s, dir) => {
       val vecs = s.read.parquet(s"$dir/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("vec"))
-      Similarity.lshCosinePairs(vecs, threshold = 0.30)
+      Similarity.lshCosinePairs(vecs, threshold = 0.30, nPlanes = 2, tables = 6)
+    }),
+
+    // LSH recall vs brute force on the capped subset (the approximate
+    // path's correctness metric; q11 is the exact oracle). One row:
+    // (n_true, n_found, recall, candidate_frac). Rows-only for the
+    // driver (the LSH side is not SQL-expressible); OpsSpec gates
+    // recall >= 0.9 and candidate_frac < 1.
+    "op_ann_recall" -> ((s, dir) => {
+      val vecs = s.read.parquet(s"$dir/embeddings.parquet")
+        .where(col("vec_id") < 1000)
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+        .localCheckpoint(true)
+      val n = vecs.count()
+      val truth = Similarity.cosinePairs(vecs, 0.30).select("id_a", "id_b")
+      val found = Similarity
+        .lshCosinePairs(vecs, threshold = -1.0, nPlanes = 2, tables = 6)
+        .select("id_a", "id_b")
+        .localCheckpoint(true)
+      val nTrue = truth.count()
+      val nFound = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
+      val nCand = found.count()
+      import s.implicits._
+      Seq((nTrue, nFound,
+        if (nTrue == 0) 1.0 else nFound.toDouble / nTrue,
+        nCand.toDouble / (n.toDouble * (n - 1) / 2)))
+        .toDF("n_true", "n_found", "recall", "candidate_frac")
+    }),
+
+    // full attribution report: distributed transition counts + coalition
+    // table, then the driver-side engines (absorption Markov, exact
+    // Shapley, hybrid blend, bootstrap CI). Rows-only (matrix absorption
+    // is not SQL-expressible); AttributionSpec carries analytic oracles.
+    "op_attr_report" -> ((s, dir) => {
+      import s.implicits._
+      import graft.attribution.{Attribution, Shapley, Uncertainty}
+      val ev = s.read.parquet(s"$dir/events.parquet")
+      val counts = Attribution.transitionCounts(ev)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+      val chain = Attribution.chainFromCounts(counts)
+      val markov = Attribution.markovAttribution(chain)
+      val coals = Shapley.coalitionCounts(ev)
+        .collect().map(r => (r.getSeq[String](0), r.getLong(1))).toSeq
+      val shap = Shapley.exact(Shapley.game(coals))
+      val hybrid = Shapley.hybrid(markov, shap, alpha = 0.5)
+      val bands = Uncertainty.bootstrapMarkov(s, counts, b = 100).map(b => b.channel -> b).toMap
+      markov.keys.toSeq.sorted.map { ch =>
+        val b = bands.get(ch)
+        (ch,
+          math.round(markov(ch) * 1e6) / 1e6,
+          math.round(shap.getOrElse(ch, 0.0) * 1e6) / 1e6,
+          math.round(hybrid.getOrElse(ch, 0.0) * 1e6) / 1e6,
+          math.round(b.map(_.lo).getOrElse(0.0) * 1e6) / 1e6,
+          math.round(b.map(_.hi).getOrElse(0.0) * 1e6) / 1e6)
+      }.toDF("channel", "markov_share", "shapley_share", "hybrid_share", "ci_lo", "ci_hi")
     }),
 
     // multimodal: synthesized payloads -> batched stub decode + features
@@ -68,4 +124,53 @@ object OpsQueries {
         )
     })
   )
+
+  /** DuckDB oracles for the ops rows that ARE SQL-expressible.
+    * (MinHash/SimHash/winnowing rest on xxhash64, which DuckDB lacks —
+    * those stay rows-only with planted-truth ScalaTest specs.) */
+  val oracleSql: Map[String, String] = {
+    // langId fold keeps the earlier profile on ties → winner is the
+    // first language (alphabetical) achieving the max hit count
+    val stop = graft.ops.TextAnalysis.stopwords
+    def lst(lang: String) = stop(lang).map(w => s"'$w'").mkString("[", ", ", "]")
+    val union = stop.values.flatten.toSeq.distinct.map(w => s"'$w'").mkString("[", ", ", "]")
+    Map(
+      "op_text_profile" ->
+        s"""WITH w AS (
+           SELECT doc_id, text, length(text) AS n_chars_raw,
+             list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> len(x) > 0) AS ws
+           FROM documents),
+         m AS (
+           SELECT doc_id,
+             len(ws) AS n_tokens,
+             n_chars_raw AS n_chars,
+             len(list_filter(ws, x -> list_contains(${lst("de")}, x))) AS h_de,
+             len(list_filter(ws, x -> list_contains(${lst("en")}, x))) AS h_en,
+             len(list_filter(ws, x -> list_contains(${lst("es")}, x))) AS h_es,
+             len(list_filter(ws, x -> list_contains(${lst("fr")}, x))) AS h_fr,
+             len(list_filter(ws, x -> list_contains(${lst("it")}, x))) AS h_it,
+             len(list_filter(ws, x -> list_contains($union, x))) AS stops,
+             length(regexp_replace(text, '[^A-Za-z]', '', 'g')) AS alpha,
+             length(regexp_replace(text, '[^0-9]', '', 'g')) AS digits
+           FROM w),
+         g AS (
+           SELECT doc_id,
+             CASE WHEN greatest(h_de, h_en, h_es, h_fr, h_it) = 0 THEN 'und'
+                  WHEN h_de >= h_en AND h_de >= h_es AND h_de >= h_fr AND h_de >= h_it THEN 'de'
+                  WHEN h_en >= h_es AND h_en >= h_fr AND h_en >= h_it THEN 'en'
+                  WHEN h_es >= h_fr AND h_es >= h_it THEN 'es'
+                  WHEN h_fr >= h_it THEN 'fr'
+                  ELSE 'it' END AS lang_guess,
+             (CAST((n_tokens >= 5) AS INT)
+              + CAST((CASE WHEN n_chars > 0 THEN CAST(alpha AS DOUBLE)/n_chars ELSE 0 END >= 0.6) AS INT)
+              + CAST((CASE WHEN n_tokens > 0 THEN CAST(stops AS DOUBLE)/n_tokens ELSE 0 END >= 0.01) AS INT)
+              + CAST((CASE WHEN n_tokens > 0 THEN CAST(n_chars - n_tokens + 1 AS DOUBLE)/n_tokens ELSE 0 END BETWEEN 2 AND 12) AS INT)
+              + CAST((CASE WHEN n_chars > 0 THEN CAST(digits AS DOUBLE)/n_chars ELSE 0 END <= 0.3) AS INT)
+             ) / 5.0 AS quality
+           FROM m)
+         SELECT lang_guess, count(*) AS n_docs,
+           CAST(sum(CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
+         FROM g GROUP BY lang_guess"""
+    )
+  }
 }

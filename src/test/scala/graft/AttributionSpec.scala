@@ -1,0 +1,142 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.attribution.{Attribution, Shapley, Uncertainty}
+
+class AttributionSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  // events: (event_id, ts, user_id, event_type)
+  private def eventsDF(rows: Seq[(Long, String, Long, String)]) = {
+    import spark.implicits._
+    rows.toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+  }
+
+  test("userPaths: truncation at first conversion, empty-path converters, non-converters") {
+    val ev = eventsDF(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 10:03:00", 1L, "click"), // after conversion: ignored
+      (5L, "2024-01-01 11:00:00", 2L, "purchase"), // converts immediately
+      (6L, "2024-01-01 12:00:00", 3L, "view") // never converts
+    ))
+    val out = Attribution.userPaths(ev).collect()
+      .map(r => r.getLong(0) -> ((r.getSeq[String](1), r.getBoolean(2)))).toMap
+    assert(out(1L) == ((Seq("click", "view"), true)))
+    assert(out(2L) == ((Seq(), true)))
+    assert(out(3L) == ((Seq("view"), false)))
+  }
+
+  test("transitionCounts matches hand-computed counts incl. START->CONV") {
+    val ev = eventsDF(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:01:00", 1L, "purchase"),
+      (3L, "2024-01-01 11:00:00", 2L, "purchase"),
+      (4L, "2024-01-01 12:00:00", 3L, "click"),
+      (5L, "2024-01-01 12:01:00", 3L, "click")
+    ))
+    val out = Attribution.transitionCounts(ev).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(out == Map(
+      ("START", "click") -> 2L,
+      ("click", "CONV") -> 1L,
+      ("START", "CONV") -> 1L,
+      ("click", "click") -> 1L,
+      ("click", "NULL") -> 1L
+    ))
+  }
+
+  test("conversionProbability: analytic single-channel chain") {
+    // START -> A always; A -> CONV 0.5 / NULL 0.5  =>  P(conv) = 0.5
+    val chain = Attribution.chainFromCounts(Seq(
+      ("START", "A", 10L), ("A", "CONV", 5L), ("A", "NULL", 5L)
+    ))
+    assert(math.abs(Attribution.conversionProbability(chain) - 0.5) < 1e-12)
+  }
+
+  test("conversionProbability: chain with a loop (A -> A) solves absorption") {
+    // A: 0.5 self-loop, 0.25 CONV, 0.25 NULL => absorption P = 0.25/(1-0.5) = 0.5
+    val chain = Attribution.chainFromCounts(Seq(
+      ("START", "A", 8L), ("A", "A", 4L), ("A", "CONV", 2L), ("A", "NULL", 2L)
+    ))
+    assert(math.abs(Attribution.conversionProbability(chain) - 0.5) < 1e-12)
+  }
+
+  test("removalEffects: removing the only path to conversion has effect 1") {
+    val chain = Attribution.chainFromCounts(Seq(
+      ("START", "A", 10L), ("A", "B", 10L), ("B", "CONV", 5L), ("B", "NULL", 5L)
+    ))
+    val re = Attribution.removalEffects(chain)
+    assert(math.abs(re("A") - 1.0) < 1e-12 && math.abs(re("B") - 1.0) < 1e-12)
+    val shares = Attribution.markovAttribution(chain)
+    assert(math.abs(shares.values.sum - 1.0) < 1e-9)
+  }
+
+  test("removalEffects: bypassed channel has smaller effect") {
+    // START -> A -> CONV and START -> CONV directly: removing A loses
+    // only the A-routed conversions
+    val chain = Attribution.chainFromCounts(Seq(
+      ("START", "A", 5L), ("START", "CONV", 5L), ("A", "CONV", 5L)
+    ))
+    val re = Attribution.removalEffects(chain)
+    assert(re("A") > 0.49 && re("A") < 0.51, s"A routed half the conversions: $re")
+  }
+
+  test("solve: known 2x2 system") {
+    val x = Attribution.solve(Array(Array(2.0, 1.0), Array(1.0, 3.0)), Array(5.0, 10.0))
+    assert(math.abs(x(0) - 1.0) < 1e-12 && math.abs(x(1) - 3.0) < 1e-12)
+  }
+
+  test("Shapley exact: efficiency and symmetry axioms") {
+    // A and B perfectly symmetric; C carries the rest
+    val g = Shapley.game(Seq(
+      (Seq("A"), 10L), (Seq("B"), 10L), (Seq("A", "B"), 20L), (Seq("C"), 40L)
+    ))
+    val phi = Shapley.exact(g)
+    assert(math.abs(phi.values.sum - 1.0) < 1e-9, s"efficiency: $phi") // v(full)=1
+    assert(math.abs(phi("A") - phi("B")) < 1e-9, s"symmetry: $phi")
+    assert(phi("C") > phi("A"), s"C carries more value: $phi")
+  }
+
+  test("Shapley Monte Carlo approximates exact within 3 SE + tolerance") {
+    val g = Shapley.game(Seq(
+      (Seq("A"), 10L), (Seq("B"), 5L), (Seq("A", "C"), 15L), (Seq("B", "C"), 10L)
+    ))
+    val exact = Shapley.exact(g)
+    val mc = Shapley.monteCarlo(spark, g, samples = 2000)
+    exact.foreach { case (ch, v) =>
+      val (m, se) = mc(ch)
+      assert(math.abs(m - v) < 3 * se + 0.02, s"$ch: mc=$m exact=$v se=$se")
+    }
+  }
+
+  test("hybrid blend conserves value and interpolates") {
+    val markov = Map("A" -> 0.7, "B" -> 0.3)
+    val shap = Map("A" -> 0.5, "B" -> 0.5)
+    val h = Shapley.hybrid(markov, shap, 0.5)
+    assert(math.abs(h.values.sum - 1.0) < 1e-12)
+    assert(h("A") > 0.5 && h("A") < 0.7)
+    assert(Shapley.hybrid(markov, shap, 1.0) == markov)
+  }
+
+  test("bootstrap bands bracket the point estimate; alpha sweep envelope is sane") {
+    val counts = Seq(
+      ("START", "A", 50L), ("START", "B", 50L),
+      ("A", "CONV", 30L), ("A", "NULL", 20L),
+      ("B", "CONV", 10L), ("B", "NULL", 40L)
+    )
+    val point = Attribution.markovAttribution(Attribution.chainFromCounts(counts))
+    val bands = Uncertainty.bootstrapMarkov(spark, counts, b = 50).map(b => b.channel -> b).toMap
+    point.foreach { case (ch, v) =>
+      val b = bands(ch)
+      assert(b.lo <= v + 0.05 && b.hi >= v - 0.05, s"$ch: point $v outside [${b.lo}, ${b.hi}]")
+      assert(b.lo <= b.hi)
+    }
+    val sweep = Uncertainty.alphaSweep(point, Map("A" -> 0.5, "B" -> 0.5))
+    sweep.foreach(b => assert(b.lo <= b.mean && b.mean <= b.hi))
+  }
+}
