@@ -30,7 +30,12 @@ object Pipeline {
   final case class Cfg(
       blocking: Blocking.Cfg = Blocking.Cfg(),
       weights: Scoring.Weights = Scoring.Weights(),
-      ccMaxIter: Int = 50
+      ccMaxIter: Int = 50,
+      // stage-S resume granularity: candidates split by pmod(salt, n);
+      // a run killed mid-scoring redoes only unfinished chunks, not the
+      // whole stage (the reference's analog removes cached results from
+      // the work set, src/api/optimized_api_server.py:673-700)
+      scoreChunks: Int = 4
   )
 
   final case class Result(
@@ -81,16 +86,37 @@ object Pipeline {
       Blocking.candidatesFromKeys(keys, cfg.blocking)
     }
 
-    // Stage S
-    val scored = stage(
-      "scored_pairs",
-      out => Seq(
+    // Stage S0 — doc representations, checkpointed once and shared by
+    // every scoring chunk (recomputing them per chunk would re-scan the
+    // whole input scoreChunks times)
+    val textRep = stage("text_rep")(Scoring.textRep(docs))
+    val mediaRep = stage("media_rep")(Scoring.mediaRep(docs))
+
+    // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
+    // each chunk commits independently (its own parquet _SUCCESS), the
+    // stage-level _SUCCESS commits last. A rerun skips finished chunks.
+    val scoredPath = s"$runDir/scored_pairs"
+    if (!done(scoredPath)) {
+      val t0 = System.nanoTime()
+      (0 until cfg.scoreChunks).foreach { i =>
+        val cpath = s"$scoredPath/chunk=$i"
+        if (!done(cpath)) {
+          val chunk = candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
+          Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights)
+            .write.mode("overwrite").parquet(cpath)
+        }
+      }
+      val out = spark.read.parquet(scoredPath).drop("chunk")
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      Lineage.writeLineage(out, "scored_pairs", runId, runDir)
+      Lineage.writeMetrics(spark, "scored_pairs", runId, Seq(
         "scored_pairs" -> out.count().toDouble,
-        "matched_pairs" -> out.where(col("is_match")).count().toDouble
-      )
-    ) {
-      Scoring.score(candidates, docs, cfg.weights)
+        "matched_pairs" -> out.where(col("is_match")).count().toDouble,
+        "wall_ms" -> wallMs
+      ), runDir)
+      new java.io.File(s"$scoredPath/_SUCCESS").createNewFile()
     }
+    val scored = spark.read.parquet(scoredPath).drop("chunk")
 
     // Stage C
     var ccIters = -1

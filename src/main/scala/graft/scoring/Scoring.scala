@@ -137,11 +137,14 @@ object Scoring {
     *  - media: computed once per pair, joined back on (doc_a, doc_b).
     *    The aggregate output is already hash-partitioned on those keys,
     *    so only the (much smaller) media side shuffles. */
-  def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame = {
-    val pairs = candidates.select("doc_a", "doc_b")
+  def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame =
+    scoreWithReps(candidates, textRep(docs), mediaRep(docs), w)
 
-    // --- media branch: pair-grain, never exploded ---
-    val med = mediaRep(docs)
+  /** Score against precomputed doc representations (the pipeline
+    * checkpoints them once and reuses them across resume-able scoring
+    * chunks — recomputing reps per chunk would re-scan the input). */
+  def scoreWithReps(candidates: DataFrame, txt: DataFrame, med: DataFrame, w: Weights = Weights()): DataFrame = {
+    val pairs = candidates.select("doc_a", "doc_b")
     val medA = med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))
     val medB = med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))
     val mediaPair = pairs
@@ -160,7 +163,6 @@ object Scoring {
       )
 
     // --- text branch: slim exploded span pairs ---
-    val txt = textRep(docs)
     val txtA = txt.select(col("doc_id").as("doc_a"), col("texts").as("texts_a"))
     val txtB = txt.select(col("doc_id").as("doc_b"), col("texts").as("texts_b"))
     val paired = pairs.join(txtA, "doc_a").join(txtB, "doc_b")

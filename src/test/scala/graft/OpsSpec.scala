@@ -133,7 +133,24 @@ class OpsSpec extends AnyFunSuite {
     assert(pairs.contains((7L, 9999L)))
   }
 
-  test("multimodal stub pipeline: deterministic decode over synthesized payloads") {
+  test("multimodal codecs: PNG parses (and javax.imageio agrees), JPEG/WAV headers roundtrip") {
+    // PNG: our parser vs a real decoder on our real encoding
+    val png = Multimodal.MediaGen.png(seed = 99L, width = 7, height = 11)
+    assert(Multimodal.MediaCodec.decode(png) == (("png", 7, 11)))
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(png))
+    assert(img != null && img.getWidth == 7 && img.getHeight == 11, "javax.imageio must read our PNG")
+    // JPEG marker walk
+    assert(Multimodal.MediaCodec.decode(Multimodal.MediaGen.jpeg(640, 480)) == (("jpeg", 640, 480)))
+    // WAV fmt chunk
+    assert(Multimodal.MediaCodec.decode(Multimodal.MediaGen.wav(5L, 44100, 2)) == (("wav", 44100, 2)))
+    // garbage → reject path
+    assert(Multimodal.MediaCodec.decode(Array[Byte](1, 2, 3, 4)) == (("unknown", 0, 0)))
+    // byte histogram is a distribution
+    val h = Multimodal.MediaCodec.byteHistogram(png)
+    assert(h.length == 16 && math.abs(h.map(_.toDouble).sum - 1.0) < 1e-5)
+  }
+
+  test("multimodal pipeline: deterministic real decode over synthesized payloads") {
     val docs = graft.schema.Fixture.docs(spark, graft.schema.Fixture.scales("t1")).toDF()
     val media = Multimodal.mediaTable(spark, docs)
     val decoded = Multimodal.decodeAll(media).cache()
@@ -141,7 +158,9 @@ class OpsSpec extends AnyFunSuite {
     assert(decoded.count() == n)
     val r = decoded.head()
     assert(r.features.length == 16)
-    assert(Set("jpeg", "png", "webp", "wav").contains(r.format))
+    assert(Set("jpeg", "png", "wav").contains(r.format))
+    assert(decoded.filter(_.format == "unknown").count() == 0, "every synthesized payload must parse")
+    assert(decoded.filter(d => d.width <= 0 || d.height <= 0).count() == 0)
     // determinism
     val h1 = Multimodal.decodeAll(media).toDF()
       .select(bit_xor(xxhash64(col("media_ref"), col("format"), col("width"), col("height"))).as("h"))

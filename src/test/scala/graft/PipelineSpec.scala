@@ -67,10 +67,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(resumeSec < 30, f"resume took $resumeSec%.1f s — stages were recomputed")
   }
 
+  test("pair-level resume: a run killed mid-scoring redoes only missing chunks") {
+    val before = result.clusters.orderBy("doc_id").collect().toSeq
+    // simulate a kill after chunk 0+1 committed but before the stage did:
+    // drop the stage marker and two chunks, keep chunk 0 and 1
+    val scoredDir = new java.io.File(s"$runDir/scored_pairs")
+    assert(new java.io.File(scoredDir, "chunk=0/_SUCCESS").exists(), "expected chunked layout")
+    new java.io.File(scoredDir, "_SUCCESS").delete()
+    Seq("chunk=2", "chunk=3").foreach { c =>
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(scoredDir, c))
+    }
+    // downstream stage must also recompute
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$runDir/clusters"))
+    val kept0 = new java.io.File(scoredDir, "chunk=0/_SUCCESS").lastModified()
+    val kept1 = new java.io.File(scoredDir, "chunk=1/_SUCCESS").lastModified()
+
+    val second = Pipeline.run(spark, docs, runDir)
+    assert(new java.io.File(scoredDir, "chunk=0/_SUCCESS").lastModified() == kept0,
+      "finished chunk 0 must not be rewritten")
+    assert(new java.io.File(scoredDir, "chunk=1/_SUCCESS").lastModified() == kept1,
+      "finished chunk 1 must not be rewritten")
+    assert(second.clusters.orderBy("doc_id").collect().toSeq == before,
+      "resumed output must be byte-identical")
+  }
+
   test("lineage covers every stage; metrics recorded") {
     val lineage = spark.read.parquet(s"$runDir/lineage")
     val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).toSet
-    assert(stages == Set("candidates", "scored_pairs", "clusters"))
+    assert(stages == Set("candidates", "text_rep", "media_rep", "scored_pairs", "clusters"))
     val metrics = spark.read.parquet(s"$runDir/metrics")
     val names = metrics.select("name").collect().map(_.getString(0)).toSet
     assert(names.contains("candidate_pairs") && names.contains("cc_iterations") && names.contains("dropped_pairs_est"))
