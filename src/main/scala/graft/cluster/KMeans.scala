@@ -1,0 +1,180 @@
+package graft.cluster
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Per-group K-means with k-means++ seeding, silhouette model
+  * selection, and softmax assignment confidence — the reference's
+  * within-account clustering engine re-expressed for Spark
+  * (reference: src/core/household_inference.py:328-454 Lloyd +
+  * silhouette, `:129-182` softmax assignment).
+  *
+  * Distribution model mirrors the reference exactly: each GROUP
+  * (account) is small (tens-to-hundreds of points), so the Lloyd loop
+  * runs locally inside `flatMapGroups`, data-parallel ACROSS groups —
+  * at 10^12 docs the parallelism is the number of accounts, not points
+  * per account. (The graft-level clustering of the whole corpus is
+  * stage C's connected components; this operator is the per-account
+  * analytic the reference layers on top.)
+  */
+object KMeans {
+
+  final case class Cfg(
+      kMin: Int = 2,
+      kMax: Int = 6,
+      maxIter: Int = 100,
+      silhouetteThreshold: Double = 0.3,
+      temperature: Double = 0.5,
+      seed: Long = 42L
+  )
+
+  final case class Fit(k: Int, centroids: Array[Array[Double]], assign: Array[Int], silhouette: Double)
+
+  private[graft] def sqDist(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { val d = a(i) - b(i); s += d * d; i += 1 }
+    s
+  }
+
+  /** k-means++ seeding (household_inference.py:422-454), seeded RNG. */
+  private def init(pts: Array[Array[Double]], k: Int, rng: java.util.Random): Array[Array[Double]] = {
+    val cs = new Array[Array[Double]](k)
+    cs(0) = pts(rng.nextInt(pts.length)).clone()
+    for (c <- 1 until k) {
+      val d2 = pts.map(p => (0 until c).map(j => sqDist(p, cs(j))).min)
+      val tot = d2.sum
+      var r = rng.nextDouble() * tot
+      var idx = 0
+      while (idx < pts.length - 1 && r > d2(idx)) { r -= d2(idx); idx += 1 }
+      cs(c) = pts(idx).clone()
+    }
+    cs
+  }
+
+  /** Lloyd's algorithm (household_inference.py:371-420). Deterministic
+    * given (points order, k, seed). */
+  def lloyd(pts: Array[Array[Double]], k: Int, maxIter: Int, seed: Long): (Array[Array[Double]], Array[Int]) = {
+    val rng = new java.util.Random(seed)
+    val dim = pts.head.length
+    var cs = init(pts, k, rng)
+    val assign = new Array[Int](pts.length)
+    var changed = true
+    var iter = 0
+    while (changed && iter < maxIter) {
+      changed = false
+      var i = 0
+      while (i < pts.length) {
+        var best = 0; var bd = sqDist(pts(i), cs(0))
+        var j = 1
+        while (j < k) { val d = sqDist(pts(i), cs(j)); if (d < bd) { bd = d; best = j }; j += 1 }
+        if (assign(i) != best) { assign(i) = best; changed = true }
+        i += 1
+      }
+      val sums = Array.fill(k)(new Array[Double](dim))
+      val cnts = new Array[Int](k)
+      for (i <- pts.indices) {
+        cnts(assign(i)) += 1
+        val s = sums(assign(i)); val p = pts(i)
+        var d = 0; while (d < dim) { s(d) += p(d); d += 1 }
+      }
+      cs = Array.tabulate(k)(j => if (cnts(j) == 0) cs(j) else sums(j).map(_ / cnts(j)))
+      iter += 1
+    }
+    (cs, assign)
+  }
+
+  /** Mean silhouette coefficient, exact O(n²) — groups are small by
+    * construction (household_inference.py:456-504). */
+  def silhouette(pts: Array[Array[Double]], assign: Array[Int], k: Int): Double = {
+    if (k < 2) return 0.0
+    val n = pts.length
+    val vals = (0 until n).map { i =>
+      val byCluster = Array.fill(k)(0.0)
+      val cnt = Array.fill(k)(0)
+      for (j <- 0 until n if j != i) {
+        byCluster(assign(j)) += math.sqrt(sqDist(pts(i), pts(j)))
+        cnt(assign(j)) += 1
+      }
+      val own = assign(i)
+      if (cnt(own) == 0) 0.0
+      else {
+        val a = byCluster(own) / cnt(own)
+        val bs = (0 until k).filter(c => c != own && cnt(c) > 0).map(c => byCluster(c) / cnt(c))
+        if (bs.isEmpty) 0.0
+        else { val b = bs.min; if (math.max(a, b) == 0) 0.0 else (b - a) / math.max(a, b) }
+      }
+    }
+    vals.sum / n
+  }
+
+  /** Silhouette-selected fit: try k = kMin..min(kMax, n/10 floor like
+    * the reference); fall back to k = 1 when no k clears the threshold
+    * (household_inference.py:328-369). */
+  def fit(pts: Array[Array[Double]], cfg: Cfg = Cfg()): Fit = {
+    val kCap = math.min(cfg.kMax, math.max(1, pts.length / 10))
+    if (pts.length < 2 || kCap < cfg.kMin)
+      return Fit(1, Array(mean(pts)), Array.fill(pts.length)(0), 0.0)
+    val fits = (cfg.kMin to kCap).map { k =>
+      val (cs, as) = lloyd(pts, k, cfg.maxIter, cfg.seed)
+      Fit(k, cs, as, silhouette(pts, as, k))
+    }
+    val best = fits.maxBy(_.silhouette)
+    if (best.silhouette >= cfg.silhouetteThreshold) best
+    else Fit(1, Array(mean(pts)), Array.fill(pts.length)(0), 0.0)
+  }
+
+  private def mean(pts: Array[Array[Double]]): Array[Double] = {
+    val dim = pts.head.length
+    val s = new Array[Double](dim)
+    pts.foreach(p => { var d = 0; while (d < dim) { s(d) += p(d); d += 1 } })
+    s.map(_ / pts.length)
+  }
+
+  /** Softmax assignment confidence exp(−d/τ)/Σ over centroids
+    * (household_inference.py:129-182). */
+  def softmaxConfidence(dists: Array[Double], temperature: Double): Array[Double] = {
+    val w = dists.map(d => math.exp(-d / temperature))
+    val tot = w.sum
+    if (tot == 0) Array.fill(dists.length)(1.0 / dists.length) else w.map(_ / tot)
+  }
+
+  /** Online centroid update θ += α(x−θ) with adaptive learning rate
+    * α = base / (1 + 0.01·count) (reference:
+    * src/core/incremental_clustering.py:97-127). Shared by the
+    * streaming incremental clusterer. */
+  def onlineUpdate(centroid: Array[Double], x: Array[Double], count: Long, baseAlpha: Double = 0.1): Array[Double] = {
+    val alpha = baseAlpha / (1.0 + 0.01 * count)
+    Array.tabulate(centroid.length)(i => centroid(i) + alpha * (x(i) - centroid(i)))
+  }
+
+  final case class GroupedPoint(group_id: String, item_id: String, features: Array[Double])
+  final case class Assigned(
+      group_id: String,
+      item_id: String,
+      cluster: Int,
+      confidence: Double,
+      k: Int,
+      silhouette: Double
+  )
+
+  /** Distributed per-group clustering: one silhouette-selected K-means
+    * model per group_id via flatMapGroups (typed; no codegen — matches
+    * the reference's per-account model boundary, SURVEY §2.13). Input
+    * rows are sorted by item_id inside each group so fits are
+    * deterministic under any partitioning. */
+  def clusterGroups(points: Dataset[GroupedPoint], cfg: Cfg = Cfg()): Dataset[Assigned] = {
+    import points.sparkSession.implicits._
+    points
+      .groupByKey(_.group_id)
+      .flatMapGroups { (gid, it) =>
+        val rows = it.toArray.sortBy(_.item_id)
+        val pts = rows.map(_.features)
+        val f = fit(pts, cfg)
+        rows.zipWithIndex.map { case (r, i) =>
+          val dists = f.centroids.map(c => math.sqrt(sqDist(pts(i), c)))
+          val conf = softmaxConfidence(dists, cfg.temperature)(f.assign(i))
+          Assigned(gid, r.item_id, f.assign(i), conf, f.k, f.silhouette)
+        }
+      }
+  }
+}

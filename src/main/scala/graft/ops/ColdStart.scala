@@ -32,10 +32,9 @@ object ColdStart {
       .when(peakHour.between(12, 17), "afternoon")
       .otherwise("evening")
 
-  /** Per-user cold-start routing over an event stream:
-    * (user_id, n_events, strategy, persona). */
-  def route(events: DataFrame): DataFrame = {
-    val n = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+  /** Per-user behavioral modes: (user_id, dom_type, peak_hour, persona).
+    * Shared by cold-start routing and the profile builders. */
+  def userPersona(events: DataFrame): DataFrame = {
     val domW = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("event_type"))
     val dom = events.groupBy("user_id", "event_type").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(domW)).where(col("rk") === 1)
@@ -45,12 +44,20 @@ object ColdStart {
       .groupBy("user_id", "h").agg(count(lit(1)).as("cnt"))
       .withColumn("rk", row_number().over(peakW)).where(col("rk") === 1)
       .select(col("user_id"), col("h").as("peak_hour"))
-    n.join(dom, "user_id").join(peak, "user_id")
+    dom.join(peak, "user_id")
+      .withColumn("persona", persona(col("dom_type"), col("peak_hour")))
+  }
+
+  /** Per-user cold-start routing over an event stream:
+    * (user_id, n_events, strategy, persona). */
+  def route(events: DataFrame): DataFrame = {
+    val n = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
+    n.join(userPersona(events), "user_id")
       .select(
         col("user_id"),
         col("n_events"),
         strategy(col("n_events")).as("strategy"),
-        persona(col("dom_type"), col("peak_hour")).as("persona")
+        col("persona")
       )
   }
 }

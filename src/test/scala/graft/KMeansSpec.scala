@@ -1,0 +1,114 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.cluster.KMeans
+import graft.streaming.IncrementalKMeans
+import graft.functions.Calibration
+import org.apache.spark.sql.functions._
+
+class KMeansSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def blob(cx: Double, cy: Double, n: Int, seed: Long): Seq[Array[Double]] = {
+    val rng = new java.util.Random(seed)
+    Seq.fill(n)(Array(cx + rng.nextGaussian() * 0.1, cy + rng.nextGaussian() * 0.1))
+  }
+
+  test("lloyd separates two well-separated blobs") {
+    val pts = (blob(0, 0, 30, 1) ++ blob(10, 10, 30, 2)).toArray
+    val (cs, assign) = KMeans.lloyd(pts, 2, 100, 42L)
+    // all points of each blob share a cluster, and it differs across blobs
+    assert(assign.take(30).toSet.size == 1 && assign.drop(30).toSet.size == 1)
+    assert(assign(0) != assign(30))
+    val ds = cs.map(c => math.sqrt(KMeans.sqDist(c, Array(0.0, 0.0))))
+    assert(ds.min < 0.5 && ds.max > 12)
+  }
+
+  test("silhouette-selected fit picks k=2 on two blobs, k=1 on one blob") {
+    val two = (blob(0, 0, 30, 3) ++ blob(10, 10, 30, 4)).toArray
+    val f2 = KMeans.fit(two, KMeans.Cfg())
+    assert(f2.k == 2, s"expected k=2, got ${f2.k} (sil ${f2.silhouette})")
+    assert(f2.silhouette > 0.8)
+    // a split of one isotropic Gaussian scores sil ≈ 0.45 — above the
+    // reference's 0.3 default (which accepts such splits too); the
+    // fallback path is exercised with a stricter threshold
+    val one = blob(5, 5, 40, 5).toArray
+    val f1 = KMeans.fit(one, KMeans.Cfg(silhouetteThreshold = 0.6))
+    assert(f1.k == 1, s"single blob must fall back to k=1, got ${f1.k} (sil ${f1.silhouette})")
+  }
+
+  test("clusterGroups: one model per group, deterministic under repartition") {
+    import spark.implicits._
+    val rows =
+      (blob(0, 0, 25, 6) ++ blob(8, 8, 25, 7)).zipWithIndex.map { case (f, i) =>
+        KMeans.GroupedPoint("g1", f"i$i%03d", f)
+      } ++ blob(3, 3, 30, 8).zipWithIndex.map { case (f, i) =>
+        KMeans.GroupedPoint("g2", f"i$i%03d", f)
+      }
+    val ds = rows.toDS()
+    val cfg = KMeans.Cfg(silhouetteThreshold = 0.6)
+    val out = KMeans.clusterGroups(ds, cfg).collect()
+    val byGroup = out.groupBy(_.group_id)
+    assert(byGroup("g1").head.k == 2)
+    assert(byGroup("g2").head.k == 1)
+    assert(out.forall(a => a.confidence > 0 && a.confidence <= 1))
+    // determinism: same assignments from a differently-partitioned input
+    val out2 = KMeans.clusterGroups(ds.repartition(7), cfg).collect()
+    assert(out.map(a => (a.group_id, a.item_id, a.cluster)).sortBy(_.toString).toSeq ==
+      out2.map(a => (a.group_id, a.item_id, a.cluster)).sortBy(_.toString).toSeq)
+  }
+
+  test("softmax confidence: closer centroid wins, distribution sums to 1") {
+    val conf = KMeans.softmaxConfidence(Array(0.1, 2.0, 5.0), temperature = 0.5)
+    assert(math.abs(conf.sum - 1.0) < 1e-12)
+    assert(conf(0) > conf(1) && conf(1) > conf(2))
+  }
+
+  test("incremental k-means: online updates converge toward the stream mean") {
+    val pts = blob(4, 4, 200, 9)
+    var st: Option[IncrementalKMeans.ClusterState] = None
+    pts.grouped(20).zipWithIndex.foreach { case (batch, bi) =>
+      val ps = batch.zipWithIndex.map { case (f, i) => IncrementalKMeans.Point("a", f"b${bi}i$i", f) }
+      val (_, next) = IncrementalKMeans.step(ps, st, IncrementalKMeans.Cfg())
+      st = Some(next)
+    }
+    val s = st.get
+    assert(s.centroids.length == 1, "tight blob must stay one cluster")
+    assert(math.abs(s.centroids(0)(0) - 4.0) < 0.3 && math.abs(s.centroids(0)(1) - 4.0) < 0.3)
+  }
+
+  test("incremental k-means: far point spawns a new cluster, cap respected") {
+    val near = IncrementalKMeans.Point("a", "p1", Array(0.0, 0.0))
+    val far = IncrementalKMeans.Point("a", "p2", Array(50.0, 50.0))
+    val (out, st) = IncrementalKMeans.step(Seq(near, far), None, IncrementalKMeans.Cfg(maxClusters = 6))
+    assert(st.centroids.length == 2)
+    assert(out.map(_.cluster).distinct.size == 2)
+  }
+
+  test("incremental k-means distributed batch run matches local step per account") {
+    import spark.implicits._
+    val pts = (0 until 40).map(i => IncrementalKMeans.Point(s"acct${i % 2}", f"i$i%03d", Array(i % 7 * 1.0, 0.0)))
+    val viaSpark = IncrementalKMeans.assign(pts.toDS()).collect()
+      .map(a => (a.account_id, a.item_id) -> a.cluster).toMap
+    val local = pts.groupBy(_.account_id).flatMap { case (_, ps) =>
+      IncrementalKMeans.step(ps, None, IncrementalKMeans.Cfg())._1
+    }.map(a => (a.account_id, a.item_id) -> a.cluster).toMap
+    assert(viaSpark == local)
+  }
+
+  test("Brier + ECE: hand-computed values and rollback gate") {
+    import spark.implicits._
+    // perfect predictions → brier 0; ece 0
+    val perfect = Seq((1.0, 1), (0.0, 0), (1.0, 1)).toDF("p", "y")
+    assert(Calibration.brier(perfect, col("p"), col("y")).head().getDouble(0) == 0.0)
+    // hand case: p=0.8,y=1 → .04; p=0.4,y=0 → .16 ⇒ brier .10
+    val hand = Seq((0.8, 1), (0.4, 0)).toDF("p", "y")
+    assert(math.abs(Calibration.brier(hand, col("p"), col("y")).head().getDouble(0) - 0.10) < 1e-12)
+    // ECE of a single miscalibrated bin: p=0.9 twice, one positive → |0.9-0.5| = 0.4
+    val mis = Seq((0.9, 1), (0.9, 0)).toDF("p", "y")
+    assert(math.abs(Calibration.ece(mis, col("p"), col("y")).head().getDouble(0) - 0.4) < 1e-12)
+    assert(!Calibration.shouldRollback(0.10, 0.20))
+    assert(Calibration.shouldRollback(0.10, 0.30))
+  }
+}
