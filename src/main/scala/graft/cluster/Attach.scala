@@ -36,7 +36,8 @@ object Attach {
       clusters: DataFrame,
       scored: DataFrame,
       attachFloor: Double = 2.0,
-      minSpanBits: Int = 2
+      minSpanBits: Int = 2,
+      maxLocalMoves: Long = 2000000L
   ): DataFrame = {
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cl_n"))
     val singles = clusters
@@ -82,13 +83,42 @@ object Attach {
     val moveEdges = chosen
       .select(col("doc_id").as("src"), col("new_cluster").as("dst"))
       .localCheckpoint(true)
-    val vertices = moveEdges.select(col("src").as("doc_id"))
-      .union(moveEdges.select(col("dst").as("doc_id")))
-      .distinct()
-    val mapping = ConnectedComponents
-      .run(moveEdges, vertices)
-      .assignments
-      .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged_cluster"))
+    // Adaptive execution: move sets are tiny relative to the corpus
+    // (one edge per attaching singleton), so below `maxLocalMoves` a
+    // driver-side union-find replaces ~10 latency-bound shuffle rounds
+    // with one collect + one broadcastable mapping — semantically
+    // identical (component label = min member). The distributed CC
+    // path remains for pathological singleton floods.
+    val nMoves = moveEdges.count()
+    val mapping: DataFrame =
+      if (nMoves <= maxLocalMoves) {
+        val spark = clusters.sparkSession
+        import spark.implicits._
+        val parent = scala.collection.mutable.HashMap.empty[String, String]
+        def find(x: String): String = {
+          var r = x
+          while (parent.getOrElse(r, r) != r) r = parent(r)
+          var c = x
+          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
+          r
+        }
+        moveEdges.collect().foreach { row =>
+          val (a, b) = (find(row.getString(0)), find(row.getString(1)))
+          if (a != b) { if (a < b) parent(b) = a else parent(a) = b }
+        }
+        // union-by-min ⇒ every component's root IS its min member, so
+        // the mapping is node → find(node); roots keep their id via the
+        // left-join coalesce downstream
+        parent.keys.toSeq.sorted.map(k => (k, find(k))).toDF("cluster_id", "merged_cluster")
+      } else {
+        val vertices = moveEdges.select(col("src").as("doc_id"))
+          .union(moveEdges.select(col("dst").as("doc_id")))
+          .distinct()
+        ConnectedComponents
+          .run(moveEdges, vertices)
+          .assignments
+          .select(col("doc_id").as("cluster_id"), col("cluster_id").as("merged_cluster"))
+      }
 
     val moved = clusters
       .join(mapping, Seq("cluster_id"), "left")

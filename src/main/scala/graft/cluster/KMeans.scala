@@ -25,7 +25,11 @@ object KMeans {
       maxIter: Int = 100,
       silhouetteThreshold: Double = 0.3,
       temperature: Double = 0.5,
-      seed: Long = 42L
+      seed: Long = 42L,
+      // z-score features within each group before fitting (the
+      // reference normalizes inside its per-account model,
+      // household_inference.py:321-326)
+      zScore: Boolean = false
   )
 
   final case class Fit(k: Int, centroids: Array[Array[Double]], assign: Array[Int], silhouette: Double)
@@ -147,6 +151,19 @@ object KMeans {
     Array.tabulate(centroid.length)(i => centroid(i) + alpha * (x(i) - centroid(i)))
   }
 
+  /** Per-dim z-score over a local point set (constant dims → 0). */
+  private[graft] def zScoreLocal(pts: Array[Array[Double]]): Array[Array[Double]] = {
+    if (pts.isEmpty) return pts
+    val dim = pts.head.length
+    val mu = new Array[Double](dim)
+    pts.foreach(p => { var d = 0; while (d < dim) { mu(d) += p(d); d += 1 } })
+    (0 until dim).foreach(d => mu(d) /= pts.length)
+    val sd = new Array[Double](dim)
+    pts.foreach(p => { var d = 0; while (d < dim) { val x = p(d) - mu(d); sd(d) += x * x; d += 1 } })
+    (0 until dim).foreach(d => sd(d) = math.sqrt(sd(d) / pts.length))
+    pts.map(p => Array.tabulate(dim)(d => if (sd(d) > 0) (p(d) - mu(d)) / sd(d) else 0.0))
+  }
+
   final case class GroupedPoint(group_id: String, item_id: String, features: Array[Double])
   final case class Assigned(
       group_id: String,
@@ -168,7 +185,8 @@ object KMeans {
       .groupByKey(_.group_id)
       .flatMapGroups { (gid, it) =>
         val rows = it.toArray.sortBy(_.item_id)
-        val pts = rows.map(_.features)
+        val raw = rows.map(_.features)
+        val pts = if (cfg.zScore) zScoreLocal(raw) else raw
         val f = fit(pts, cfg)
         rows.zipWithIndex.map { case (r, i) =>
           val dists = f.centroids.map(c => math.sqrt(sqDist(pts(i), c)))

@@ -1,3 +1,4 @@
+// (md5-simhash variant at the bottom of this file is DuckDB-oracled)
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
@@ -81,34 +82,60 @@ object Dedup {
       .select(col("doc_id").as("id"), col("cluster_id").as("group_id"))
   }
 
-  /** 64-bit SimHash per doc from whitespace tokens: per-bit vote sums
-    * via 64 aggregate expressions (same plan shape as MinHash).
-    * Output: (id, simhash). */
-  def simhash(docs0: DataFrame): DataFrame = {
+  /** Tokenized (id, word) rows from normalized text. */
+  private def tokens(docs0: DataFrame): DataFrame = {
     val docs = graft.util.Parallelism.ensure(docs0)
-    val tok = docs.select(
+    docs.select(
       col("id"),
       explode(split(TextOps.normText(col("text")), " ")).as("w")
     ).where(length(col("w")) > 0)
-      .select(col("id"), xxhash64(col("w")).as("h"))
-    val bitAggs = (0 until 64).map { i =>
+  }
+
+  /** SimHash sketch from per-token hash rows (id, h): per-bit vote sums
+    * via `bits` aggregate expressions (same plan shape as MinHash).
+    * `strictSign`: bit set when vote > 0 (xxhash64 variant) or ≥ 0
+    * (md5 cross-engine variant — ties included so the DuckDB oracle's
+    * CASE matches exactly). */
+  private def simhashFromHashes(tok: DataFrame, bits: Int, strictSign: Boolean): DataFrame = {
+    val bitAggs = (0 until bits).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"b_$i")
     }
     val votes = tok.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
-    val sh = (0 until 64)
-      .map(i => when(col(s"b_$i") > 0, shiftleft(lit(1L), i)).otherwise(lit(0L)))
+    val sh = (0 until bits)
+      .map { i =>
+        val set = if (strictSign) col(s"b_$i") > 0 else col(s"b_$i") >= 0
+        when(set, shiftleft(lit(1L), i)).otherwise(lit(0L))
+      }
       .reduce(_.bitwiseOR(_))
     votes.select(col("id"), sh.as("simhash"))
   }
 
-  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
-    * candidates via 4×16-bit band equality (complete for ≤3). */
-  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame = {
-    val sh = simhash(docs)
+  /** 64-bit SimHash per doc from whitespace tokens (xxhash64 word
+    * hashes — the fast production path). Output: (id, simhash). */
+  def simhash(docs0: DataFrame): DataFrame =
+    simhashFromHashes(tokens(docs0).select(col("id"), xxhash64(col("w")).as("h")), 64, strictSign = true)
+
+  /** 60-bit SimHash with md5-derived word hashes — md5 is available in
+    * every engine, so this variant is cross-engine verifiable (the
+    * DuckDB oracle recomputes the identical sketch). ~2× the hash cost
+    * of xxhash64; use [[simhash]] when no external verification is
+    * needed. */
+  def simhashMd5(docs0: DataFrame): DataFrame =
+    simhashFromHashes(
+      tokens(docs0).select(col("id"), conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h")),
+      60, strictSign = false
+    )
+
+  /** Banded near-dup pairs over any (id, simhash) sketch table:
+    * candidates via `nBands` equal-width band equality — complete for
+    * hamming ≤ nBands − 1 by pigeonhole. */
+  def sketchPairs(sh: DataFrame, bits: Int, nBands: Int, maxHamming: Int, maxBucket: Int): DataFrame = {
+    val bandBits = bits / nBands
+    val mask = (1L << bandBits) - 1
     val banded0 = sh.select(
       col("id"), col("simhash"),
-      posexplode(array((0 until 4).map(i =>
-        shiftright(col("simhash"), i * 16).bitwiseAND(0xffffL)): _*)).as(Seq("band", "bk"))
+      posexplode(array((0 until nBands).map(i =>
+        shiftright(col("simhash"), i * bandBits).bitwiseAND(mask)): _*)).as(Seq("band", "bk"))
     ).localCheckpoint(true)
     // cap pathological buckets (homogeneous corpora collapse many docs
     // onto the same band value) — bounded fan-out, same policy as
@@ -120,8 +147,18 @@ object Dedup {
     a.join(b, Seq("band", "bk"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("s_a").bitwiseXOR(col("s_b"))))
+      .withColumn("hamming", bit_count(col("s_a").bitwiseXOR(col("s_b"))).cast("long"))
       .where(col("hamming") <= maxHamming)
       .select("id_a", "id_b", "hamming")
   }
+
+  /** SimHash near-dup pairs with Hamming distance ≤ maxHamming,
+    * candidates via 4×16-bit band equality (complete for ≤3). */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    sketchPairs(simhash(docs), bits = 64, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
+
+  /** Cross-engine-verifiable SimHash pairs (md5 word hashes, 60-bit
+    * sketch, 4×15-bit bands — complete for hamming ≤ 3). */
+  def simhashMd5Pairs(docs: DataFrame, maxHamming: Int = 3, maxBucket: Int = 1000): DataFrame =
+    sketchPairs(simhashMd5(docs), bits = 60, nBands = 4, maxHamming = maxHamming, maxBucket = maxBucket)
 }

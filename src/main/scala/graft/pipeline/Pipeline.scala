@@ -98,14 +98,28 @@ object Pipeline {
     val scoredPath = s"$runDir/scored_pairs"
     if (!done(scoredPath)) {
       val t0 = System.nanoTime()
-      (0 until cfg.scoreChunks).foreach { i =>
-        val cpath = s"$scoredPath/chunk=$i"
-        if (!done(cpath)) {
-          val chunk = candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
-          Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights)
-            .write.mode("overwrite").parquet(cpath)
+      // chunks are independent jobs — submit them CONCURRENTLY so the
+      // scheduler backfills each job's shuffle/commit barriers with the
+      // other chunks' tasks (sequential chunks left cores idle at every
+      // barrier: measured 0.56 scaling efficiency 8→32 before this)
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(cfg.scoreChunks, 8))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (0 until cfg.scoreChunks).map { i =>
+        scala.concurrent.Future {
+          val cpath = s"$scoredPath/chunk=$i"
+          if (!done(cpath)) {
+            val chunk = candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
+            Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights)
+              .write.mode("overwrite").parquet(cpath)
+          }
         }
       }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf
+      )
+      finally pool.shutdown()
       val out = spark.read.parquet(scoredPath).drop("chunk")
       val wallMs = (System.nanoTime() - t0) / 1e6
       Lineage.writeLineage(out, "scored_pairs", runId, runDir)

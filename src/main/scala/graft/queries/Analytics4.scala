@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.ops.Profiles
 
 /** Fourth batch: person/household profile builders (SURVEY.md §2.10
@@ -22,6 +23,60 @@ object Analytics4 {
     // ---- household rollup: size, type cascade, dominant persona ----
     "q26_household_profiles" -> ((s, dir) => Profiles.householdProfiles(t(s, dir, "events"))),
 
+    // ---- feature encoding: log1p scaling, cyclical sin/cos hour
+    //      encoding, euclidean distance (§2.9 rows 39/40/44) ----
+    "q27_feature_encode" -> ((s, dir) => {
+      val peakW = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("h"))
+      val peak = t(s, dir, "events")
+        .select(col("user_id"), hour(col("ts").cast("timestamp")).as("h"))
+        .groupBy("user_id", "h").agg(count(lit(1)).as("cnt"))
+        .withColumn("rk", row_number().over(peakW)).where(col("rk") === 1)
+      val n = t(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      val tau = lit(2 * math.Pi) / 24
+      n.join(peak.select("user_id", "h"), "user_id")
+        .withColumn("sin_h", sin(col("h") * tau))
+        .withColumn("cos_h", cos(col("h") * tau))
+        .select(
+          col("user_id"),
+          col("n_events"),
+          round(log1p(col("n_events")), 6).as("log_events"),
+          // + 0.0 normalizes IEEE −0.0 (cos(3π/2) rounds to a signed
+          // zero whose sign depends on op order) so value hashes agree
+          (round(col("sin_h"), 6) + lit(0.0)).as("sin_hour"),
+          (round(col("cos_h"), 6) + lit(0.0)).as("cos_hour"),
+          // euclidean distance of the hour encoding from midnight (0, 1)
+          round(sqrt(pow(col("sin_h"), 2) + pow(col("cos_h") - 1, 2)), 6).as("midnight_dist")
+        )
+    }),
+
+    // ---- cross-engine SimHash near-dup pairs: md5 word hashes,
+    //      60-bit sketch, banded candidates, hamming <= 3 (the DuckDB
+    //      oracle recomputes the identical sketch brute-force) ----
+    "q28_simhash_md5" -> ((s, dir) =>
+      graft.ops.Dedup.simhashMd5Pairs(
+        t(s, dir, "documents").select(col("doc_id").as("id"), col("text")))),
+
+    // ---- centroid drift (the 5th reference drift check,
+    //      drift_detection.py:230-260): L2 shift of per-label mean
+    //      embedding between the two vec_id-parity halves ----
+    "q29_centroid_drift" -> ((s, dir) => {
+      val ex = t(s, dir, "embeddings").select(
+        col("label"),
+        pmod(col("vec_id"), lit(2)).as("half"),
+        posexplode(col("embedding")).as(Seq("pos", "x"))
+      )
+      val m = ex.groupBy("label", "pos").agg(
+        avg(when(col("half") === 0, col("x"))).as("m0"),
+        avg(when(col("half") === 1, col("x"))).as("m1")
+      )
+      val shift = sqrt(sum(pow(col("m0") - col("m1"), 2)))
+      m.groupBy("label").agg(
+        round(shift, 4).as("centroid_shift"),
+        when(shift >= 2.0, "high").when(shift >= 1.0, "medium")
+          .when(shift >= 0.5, "low").otherwise("none").as("severity")
+      )
+    }),
+
     // ---- per-group silhouette-selected K-means over embeddings
     //      (group = label; rows-only — Lloyd isn't SQL; KMeansSpec
     //      carries planted-blob oracles) ----
@@ -39,6 +94,30 @@ object Analytics4 {
         .agg(
           count(lit(1)).as("n_points"),
           countDistinct("cluster").as("n_clusters_used"),
+          round(max("silhouette"), 6).as("silhouette")
+        )
+    }),
+
+    // ---- the reference's core per-account clustering: weighted
+    //      z-scored behavior features, K-means per household
+    //      (household_inference.py:71-127). Rows-only; feature build +
+    //      fit have analytic spec oracles ----
+    "op_kmeans_households" -> ((s, dir) => {
+      import s.implicits._
+      val pts = graft.ops.Features.userFeatures(t(s, dir, "events"))
+        .select(
+          pmod(col("user_id"), lit(50)).cast("string").as("group_id"),
+          col("user_id").cast("string").as("item_id"),
+          col("features")
+        )
+        .as[graft.cluster.KMeans.GroupedPoint]
+      graft.cluster.KMeans
+        .clusterGroups(pts, graft.cluster.KMeans.Cfg(zScore = true))
+        .toDF()
+        .groupBy("group_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max("k").as("k"),
           round(max("silhouette"), 6).as("silhouette")
         )
     }),
@@ -63,7 +142,58 @@ object Analytics4 {
     })
   )
 
+  // q28 oracle: the identical 60-bit md5 simhash sketch, recomputed in
+  // DuckDB and paired brute-force (the Spark side bands; band
+  // completeness for hamming <= 3 makes the sets equal)
+  private val simhashOracle: String = {
+    val bits = 60
+    val sTerms = (0 until bits)
+      .map(i => s"sum(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS s$i")
+      .mkString(",\n         ")
+    val sketch = (0 until bits)
+      .map(i => s"(CASE WHEN s$i >= 0 THEN (1::BIGINT << $i) ELSE 0::BIGINT END)")
+      .mkString(" | ")
+    s"""WITH w AS (
+       SELECT doc_id, unnest(list_filter(string_split(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')), ' '), x -> len(x) > 0)) AS word
+       FROM documents),
+     h AS (SELECT doc_id, CAST(('0x' || substr(md5(word), 1, 15)) AS BIGINT) AS h FROM w),
+     s AS (SELECT doc_id,
+         $sTerms
+       FROM h GROUP BY doc_id),
+     sk AS (SELECT doc_id, $sketch AS sketch FROM s)
+     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       CAST(bit_count(xor(a.sketch, b.sketch)) AS BIGINT) AS hamming
+     FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+     WHERE bit_count(xor(a.sketch, b.sketch)) <= 3"""
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q27_feature_encode" ->
+      """WITH n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
+       peak AS (SELECT user_id, h FROM (
+         SELECT user_id, extract(hour FROM ts) AS h, row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, h) AS rk
+         FROM events GROUP BY user_id, h) WHERE rk = 1)
+       SELECT n.user_id, n_events,
+         round(ln(1 + n_events), 6) AS log_events,
+         round(sin(h * (2 * pi() / 24)), 6) + 0.0 AS sin_hour,
+         round(cos(h * (2 * pi() / 24)), 6) + 0.0 AS cos_hour,
+         round(sqrt(pow(sin(h * (2 * pi() / 24)), 2) + pow(cos(h * (2 * pi() / 24)) - 1, 2)), 6) AS midnight_dist
+       FROM n JOIN peak ON n.user_id = peak.user_id""",
+    "q28_simhash_md5" -> simhashOracle,
+    "q29_centroid_drift" ->
+      """WITH ex AS (
+         SELECT label, vec_id % 2 AS half, embedding[g.p + 1] AS x, g.p AS pos
+         FROM embeddings, (SELECT unnest(range(64)) AS p) g),
+       m AS (
+         SELECT label, pos,
+           avg(CASE WHEN half = 0 THEN x END) AS m0,
+           avg(CASE WHEN half = 1 THEN x END) AS m1
+         FROM ex GROUP BY label, pos)
+       SELECT label, round(sqrt(sum(pow(m0 - m1, 2))), 4) AS centroid_shift,
+         CASE WHEN sqrt(sum(pow(m0 - m1, 2))) >= 2.0 THEN 'high'
+              WHEN sqrt(sum(pow(m0 - m1, 2))) >= 1.0 THEN 'medium'
+              WHEN sqrt(sum(pow(m0 - m1, 2))) >= 0.5 THEN 'low' ELSE 'none' END AS severity
+       FROM m GROUP BY label""",
     "q25_person_profiles" ->
       """WITH sess AS (
          SELECT user_id, count(*) AS n_events,

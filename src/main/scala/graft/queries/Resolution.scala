@@ -63,6 +63,18 @@ object Resolution {
         .groupBy("n_docs")
         .agg(count(lit(1)).as("n_clusters"))
     }),
+    // merged entity records (node-merge aggregates + JSON round-trip:
+    // identity_graph.py:364-410 semantics as a group-by)
+    "pir_entities" -> ((s, dir) => {
+      val st = staged(s, scaleFor(dir))
+      graft.cluster.ClusterMerge.mergedEntities(st.clusters, st.docs, st.scored)
+        .select(
+          col("cluster_id"), col("n_members"), col("total_text_spans"),
+          size(col("media_refs")).as("n_media_refs"),
+          // JSON round-trip invariant: parse back what we serialized
+          get_json_object(col("entity_json"), "$.n_members").cast("long").as("n_members_rt")
+        )
+    }),
     // pairwise P/R/F1 vs generator ground truth, as a one-row DataFrame
     "pir_quality" -> ((s, dir) => {
       import s.implicits._

@@ -97,6 +97,26 @@ class KMeansSpec extends AnyFunSuite {
     assert(viaSpark == local)
   }
 
+  test("feature build: fixed 8-dim vector, weighted shares, z-score normalization") {
+    import spark.implicits._
+    val ev = Seq(
+      (1L, "2024-01-01 14:00:00", 7L, "click"),
+      (2L, "2024-01-01 14:10:00", 7L, "click"),
+      (3L, "2024-01-01 14:20:00", 7L, "view")
+    ).toDF("event_id", "ts", "user_id", "event_type")
+      .withColumn("ts", col("ts").cast("timestamp"))
+    val f = graft.ops.Features.userFeatures(ev).collect().head.getSeq[Double](1)
+    assert(f.length == 8)
+    // shares: click 2/3, view 1/3 (weight 1.0), order of typeVocab
+    assert(math.abs(f(3) - 2.0 / 3) < 1e-12 && math.abs(f(7) - 1.0 / 3) < 1e-12)
+    assert(math.abs(f(5)) < 1e-12) // no purchases
+    // log1p(3) * 1.2
+    assert(math.abs(f(2) - math.log1p(3) * 1.2) < 1e-12)
+    // z-score: zero mean, unit variance on non-constant dims
+    val z = graft.cluster.KMeans.zScoreLocal(Array(Array(1.0, 5.0), Array(3.0, 5.0)))
+    assert(math.abs(z.map(_(0)).sum) < 1e-12 && z(0)(1) == 0.0 && math.abs(z(1)(0) - 1.0) < 1e-12)
+  }
+
   test("Brier + ECE: hand-computed values and rollback gate") {
     import spark.implicits._
     // perfect predictions → brier 0; ece 0
