@@ -159,6 +159,68 @@ object Fixture {
     }.toSeq
   }
 
+  // ---- enhanced-generator scenarios (reference:
+  // src/validation/enhanced_synthetic.py:185-570 — co-viewing, device
+  // handoffs, live-event spikes). Opt-in extra docs; the base fixture
+  // is untouched so calibrated weights stay valid. ----
+
+  /** Co-viewing docs: entity e's content carrying the media assets of
+    * its household partner e2 = (e+1) mod entities — the reference's
+    * same-household-different-person signal
+    * (enhanced_synthetic.py:185-290). Ground truth: the HOST entity. */
+  def coViewingDocs(cfg: Cfg, perEntity: Int = 2): (Seq[Doc], Seq[Label]) = {
+    val pairs = for (e <- 0L until cfg.entities.toLong; d <- 0 until perEntity) yield {
+      val e2 = (e + 1) % cfg.entities
+      val id = f"cov${e}%05d_d$d%04d"
+      val nText = 2 + Rng.int(3, cfg.seed, 0xd0001L, e, d.toLong)
+      val text = (0 until nText).map { s =>
+        val p = Rng.int(phraseCount(cfg, e), cfg.seed, 0xd0002L, e, d.toLong, s.toLong)
+        ("text", noisy(cfg, phrase(cfg.seed, e, p), e, 5000L + d, s), null)
+      }
+      // ONE partner asset: co-viewing surfaces as sub-threshold shared-
+      // media evidence (visible in media_jaccard / m_score) without
+      // crossing the 2-independent-evidence match gate — a second
+      // borrowed asset would legitimately merge the household's
+      // entities (see Scoring's contamination analysis)
+      val partnerMedia = Seq({
+        val k = Rng.int(assetCount(cfg.seed, e2), cfg.seed, 0xd0003L, e, d.toLong)
+        ("media", null, asset(e2, k))
+      })
+      val spans = (text ++ partnerMedia).zipWithIndex.map { case ((kind, t, mr), off) =>
+        Span(kind, t, mr, off)
+      }
+      (Doc(id, spans), Label(id, entityId(e)))
+    }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
+  /** Device-handoff docs: first half of the spans from e, second half
+    * from e2 (a session handed between household members mid-stream,
+    * enhanced_synthetic.py:292-360). Ground truth: the STARTING entity
+    * (dominant-by-count, matching the reference's assignment). */
+  def handoffDocs(cfg: Cfg, perEntity: Int = 1): (Seq[Doc], Seq[Label]) = {
+    val pairs = for (e <- 0L until cfg.entities.toLong; d <- 0 until perEntity) yield {
+      val e2 = (e + 1) % cfg.entities
+      val id = f"hoff${e}%05d_d$d%04d"
+      val own = (0 until 3).map { s =>
+        val p = Rng.int(phraseCount(cfg, e), cfg.seed, 0xd0004L, e, d.toLong, s.toLong)
+        ("text", noisy(cfg, phrase(cfg.seed, e, p), e, 6000L + d, s), null)
+      }
+      // ONE foreign span (brief handoff): stays below the match gate —
+      // a longer handoff genuinely contains both persons and any
+      // correct pairwise resolver would (rightly) link them
+      val other = Seq({
+        val p = Rng.int(phraseCount(cfg, e2), cfg.seed, 0xd0005L, e, d.toLong)
+        ("text", noisy(cfg, phrase(cfg.seed, e2, p), e, 7000L + d, 0), null)
+      })
+      val spans = (own ++ other).zipWithIndex.map { case ((kind, t, mr), off) =>
+        Span(kind, t, mr, off)
+      }
+      (Doc(id, spans), Label(id, entityId(e)))
+    }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
   def docs(spark: SparkSession, cfg: Cfg): Dataset[Doc] = {
     import spark.implicits._
     spark
