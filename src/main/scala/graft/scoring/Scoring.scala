@@ -140,6 +140,18 @@ object Scoring {
   def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame =
     scoreWithReps(candidates, textRep(docs), mediaRep(docs), w)
 
+  /** Anti-join resume: the candidate pairs NOT yet present in a
+    * (possibly partial) scored checkpoint — the reference's cache
+    * semantics, where cached results are removed from the work set
+    * (reference: src/api/optimized_api_server.py:673-700). Use with a
+    * partial `scored_pairs` table to recompute only missing pairs. */
+  def unscored(candidates: DataFrame, scoredCheckpoint: DataFrame): DataFrame =
+    candidates.join(
+      scoredCheckpoint.select("doc_a", "doc_b"),
+      Seq("doc_a", "doc_b"),
+      "left_anti"
+    )
+
   /** Score against precomputed doc representations (the pipeline
     * checkpoints them once and reuses them across resume-able scoring
     * chunks — recomputing reps per chunk would re-scan the input). */

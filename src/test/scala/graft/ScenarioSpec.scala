@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.schema.Fixture
+import graft.blocking.Blocking
+import graft.scoring.Scoring
+import graft.cluster.{Attach, ConnectedComponents}
+import graft.tools.Calibrate
+
+/** Enhanced-generator scenarios (reference:
+  * src/validation/enhanced_synthetic.py:185-570): co-viewing and
+  * device-handoff docs injected on top of the base fixture. They are
+  * sub-threshold hard negatives by construction; the pipeline must
+  * stay at F1 ≥ 0.985 with them present, attach them to their host
+  * entities, and surface (not act on) the cross-household signal.
+  */
+class ScenarioSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val staged = {
+    import spark.implicits._
+    val cfg = Fixture.scales("t1")
+    val base = Fixture.docs(spark, cfg).toDF()
+    val baseLabels = Fixture.labels(spark, cfg).toDF()
+    val (covD, covL) = Fixture.coViewingDocs(cfg)
+    val (hofD, hofL) = Fixture.handoffDocs(cfg)
+    val docs = base.unionByName(covD.toDF()).unionByName(hofD.toDF()).cache()
+    val labels = baseLabels.unionByName(covL.toDF()).unionByName(hofL.toDF()).cache()
+    val cand = Blocking.candidates(docs, Blocking.Cfg()).localCheckpoint(true)
+    val scored = Scoring.score(cand, docs).localCheckpoint(true)
+    val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = ConnectedComponents.run(edges, docs.select("doc_id"))
+    val clusters = Attach.attachSingletons(cc.assignments.localCheckpoint(true), scored).localCheckpoint(true)
+    (docs, labels, cand, scored, clusters)
+  }
+
+  test("pipeline stays >= 0.985 F1 with co-viewing and handoff docs injected") {
+    val (_, labels, cand, _, clusters) = staged
+    val (p, r, f1, pos, fp) = Calibrate.pairwiseF1(Calibrate.clusterPairs(clusters, cand), cand, labels)
+    info(f"scenario F1=$f1%.4f (P=$p%.4f R=$r%.4f pos=$pos fp=$fp)")
+    assert(f1 >= 0.985, f"scenario robustness: F1 $f1%.4f")
+  }
+
+  test("scenario docs add no cross-entity merges beyond the base fixture's") {
+    def mixedCount(clusters: org.apache.spark.sql.DataFrame, labels: org.apache.spark.sql.DataFrame) =
+      clusters.join(labels, "doc_id")
+        .groupBy("cluster_id")
+        .agg(countDistinct("entity_id").as("n_entities"))
+        .where(col("n_entities") > 1)
+        .count()
+    val (_, labels, _, _, clusters) = staged
+    val scenarioMixed = mixedCount(clusters, labels)
+    val base = graft.queries.Resolution.staged(spark, "t1") // JVM-cached
+    val baseMixed = mixedCount(base.clusters, base.labels)
+    info(s"mixed clusters: base=$baseMixed scenario=$scenarioMixed")
+    // the 150 injected docs carry genuinely ambiguous content (borrowed
+    // spans from the global phrase vocabulary); a couple of shifted
+    // attach decisions among ~750 clusters is expected noise, a broad
+    // merge wave is not
+    assert(scenarioMixed <= baseMixed + 3,
+      s"scenario injection caused a merge wave: $baseMixed -> $scenarioMixed")
+  }
+
+  test("co-viewing signal surfaces as sub-threshold shared-media evidence") {
+    val (_, _, _, scored, _) = staged
+    // pairs between a co-view doc and its partner entity's docs must
+    // exist with media overlap, but below the match gate
+    val covCross = scored.where(
+      (col("doc_a").startsWith("cov") || col("doc_b").startsWith("cov")) &&
+        col("media_jaccard") > 0 && !col("is_match")
+    )
+    assert(covCross.count() > 0, "expected visible sub-threshold co-viewing evidence")
+  }
+}
