@@ -122,6 +122,50 @@ object Analytics4 {
         )
     }),
 
+    // ---- feedback-loop A/B harness (feedback_loop.py:121-611):
+    //      deterministic md5 bucket assignment (cross-engine), per-day
+    //      conversion-rate trend per bucket ----
+    "q30_ab_trend" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(2)))
+        .withColumn("day", to_date(col("ts").cast("timestamp")))
+      ev.groupBy("bucket", "day")
+        .agg(
+          countDistinct("user_id").as("n_users"),
+          countDistinct(when(col("event_type") === "purchase", col("user_id"))).as("n_conv")
+        )
+        .select(
+          col("bucket"),
+          // string day: DATE columns reach pandas as different dtypes
+          // from the two engines' parquet/df paths
+          date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("n_users"), col("n_conv"),
+          round(col("n_conv").cast("double") / col("n_users"), 6).as("conv_rate")
+        )
+    }),
+
+    // ---- GMM per-group clustering (the reference's accuracy-headline
+    //      model, gaussian_mixture.py; BIC-selected k). Rows-only —
+    //      GmmSpec carries the analytic oracles ----
+    "op_gmm_groups" -> ((s, dir) => {
+      import s.implicits._
+      val pts = graft.ops.Features.userFeatures(t(s, dir, "events"))
+        .select(
+          pmod(col("user_id"), lit(50)).cast("string").as("group_id"),
+          col("user_id").cast("string").as("item_id"),
+          col("features")
+        )
+        .as[graft.cluster.KMeans.GroupedPoint]
+      graft.cluster.Gmm.clusterGroups(pts).toDF()
+        .groupBy("group_id")
+        .agg(
+          count(lit(1)).as("n_members"),
+          max("k").as("k"),
+          round(min("responsibility"), 6).as("min_resp")
+        )
+    }),
+
     // ---- calibration of the resolution scores vs ground truth:
     //      Brier + ECE of sigmoid(score - threshold) (rows-only;
     //      CalibrationSpec has hand-computed oracles) ----
@@ -180,6 +224,16 @@ object Analytics4 {
          round(sqrt(pow(sin(h * (2 * pi() / 24)), 2) + pow(cos(h * (2 * pi() / 24)) - 1, 2)), 6) AS midnight_dist
        FROM n JOIN peak ON n.user_id = peak.user_id""",
     "q28_simhash_md5" -> simhashOracle,
+    "q30_ab_trend" ->
+      """WITH e AS (
+         SELECT user_id, event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS bucket,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+         FROM events)
+       SELECT bucket, day, count(DISTINCT user_id) AS n_users,
+         count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS n_conv,
+         round(CAST(count(DISTINCT CASE WHEN event_type = 'purchase' THEN user_id END) AS DOUBLE) / count(DISTINCT user_id), 6) AS conv_rate
+       FROM e GROUP BY bucket, day""",
     "q29_centroid_drift" ->
       """WITH ex AS (
          SELECT label, vec_id % 2 AS half, embedding[g.p + 1] AS x, g.p AS pos
