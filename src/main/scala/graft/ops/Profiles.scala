@@ -55,8 +55,7 @@ object Profiles {
   /** Household rollup: size, type cascade, dominant member persona
     * (household_inference.py:648-706). */
   def householdProfiles(events: DataFrame, accountOf: Column => Column = u => pmod(u, lit(50))): DataFrame = {
-    val p = events.groupBy("user_id").agg(count(lit(1)).as("n_events"))
-      .join(ColdStart.userPersona(events).select("user_id", "persona"), "user_id")
+    val p = ColdStart.userPersona(events).select("user_id", "n_events", "persona")
       .withColumn("account_id", accountOf(col("user_id")))
     val domW = Window.partitionBy("account_id").orderBy(col("cnt").desc, col("persona"))
     val dp = p.groupBy("account_id", "persona").agg(count(lit(1)).as("cnt"))

@@ -26,44 +26,58 @@ object Analytics3 {
     // ---- path-based removal effects (markov_engine.py:266-377) ----
     "q18_removal_effects" -> ((s, dir) => Attribution.removalEffectsPathBased(t(s, dir, "events"))),
 
-    // ---- drift report: 4 checks + severity (drift_detection.py:85-555) ----
+    // ---- drift report: 4 checks + severity (drift_detection.py:85-555).
+    //      Exactly TWO input scans: one for the midpoint scalar, one
+    //      GROUPING SETS pass producing both the type and the hour
+    //      histograms per half (the naive per-check form read the
+    //      events table 9 times — at 100 TB the scan IS the cost; the
+    //      ≤ (types + 24) × 2 histogram rows then reduce on the driver)
     "q19_drift_report" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"),
           hour(col("ts").cast("timestamp")).as("h"))
       val mid = ev.agg(min(col("us")) + floor((max(col("us")) - min(col("us"))) / 2).cast("long"))
         .head().getLong(0)
-      def halves(key: String) = {
-        val base = ev.where(col("us") < mid).groupBy(key).agg(count(lit(1)).as("base_n"))
-        val cur = ev.where(col("us") >= mid).groupBy(key).agg(count(lit(1)).as("cur_n"))
-        val bt = base.agg(sum("base_n").cast("double").as("bt"))
-        val ct = cur.agg(sum("cur_n").cast("double").as("ct"))
-        base.join(cur, Seq(key), "full").na.fill(0L, Seq("base_n", "cur_n"))
-          .crossJoin(bt).crossJoin(ct)
-          .select(
-            (col("base_n") / col("bt")).as("bs"),
-            (col("cur_n") / col("ct")).as("cs"),
-            col("bt"), col("ct")
-          )
+      val gs = ev
+        .withColumn("cur_half", col("us") >= mid)
+        .groupingSets(
+          Seq(Seq(col("cur_half"), col("event_type")), Seq(col("cur_half"), col("h"))),
+          col("cur_half"), col("event_type"), col("h")
+        )
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .collect()
+      // gid bit layout (cur_half, event_type, h): 1 = (half, type), 2 = (half, hour)
+      def hist(gid: Int, key: org.apache.spark.sql.Row => Any) =
+        gs.filter(_.getAs[Int]("gid") == gid)
+          .map(r => (r.getAs[Boolean]("cur_half"), key(r)) -> r.getAs[Long]("n")).toMap
+      val byType = hist(1, _.getAs[String]("event_type"))
+      val byHour = hist(2, _.getAs[Int]("h"))
+      def shares(hm: Map[(Boolean, Any), Long]): Seq[(Double, Double)] = {
+        val bt = hm.collect { case ((false, _), n) => n }.sum.toDouble
+        val ct = hm.collect { case ((true, _), n) => n }.sum.toDouble
+        val keys = hm.keys.map(_._2).toSeq.distinct.sortBy(_.toString)
+        keys.map(k => (hm.getOrElse((false, k), 0L) / bt, hm.getOrElse((true, k), 0L) / ct))
       }
-      val typeShares = halves("event_type")
-      val hourShares = halves("h")
-      val chi2 = typeShares.agg(sum(pow(col("cs") - col("bs"), 2) / greatest(col("bs"), lit(1e-12))).as("statistic"))
-        .select(lit("composition_chi2").as("check_name"), col("statistic"))
-      val kl = typeShares.agg(sum(when(col("cs") > 0, col("cs") * log(col("cs") / greatest(col("bs"), lit(1e-12)))).otherwise(0.0)).as("statistic"))
-        .select(lit("kl_divergence").as("check_name"), col("statistic"))
-      val vol = typeShares.select("bt", "ct").limit(1)
-        .select(lit("volume_drift").as("check_name"), (abs(col("ct") - col("bt")) / col("bt")).as("statistic"))
-      val temporal = hourShares.agg(sum(abs(col("cs") - col("bs"))).as("statistic"))
-        .select(lit("temporal_l1").as("check_name"), col("statistic"))
-      val sev = when(col("check_name") === "volume_drift",
-        when(col("statistic") >= 0.3, "high").when(col("statistic") >= 0.15, "medium")
-          .when(col("statistic") >= 0.05, "low").otherwise("none"))
-        .otherwise(
-          when(col("statistic") >= 0.1, "high").when(col("statistic") >= 0.01, "medium")
-            .when(col("statistic") >= 0.001, "low").otherwise("none"))
-      chi2.unionByName(kl).unionByName(vol).unionByName(temporal)
-        .select(col("check_name"), round(col("statistic"), 6).as("statistic"), sev.as("severity"))
+      val ts = shares(byType.asInstanceOf[Map[(Boolean, Any), Long]])
+      val hs = shares(byHour.asInstanceOf[Map[(Boolean, Any), Long]])
+      val bt = byType.collect { case ((false, _), n) => n }.sum.toDouble
+      val ct = byType.collect { case ((true, _), n) => n }.sum.toDouble
+      val checks = Seq(
+        "composition_chi2" -> ts.map { case (bs, cs) => (cs - bs) * (cs - bs) / math.max(bs, 1e-12) }.sum,
+        "kl_divergence" -> ts.map { case (bs, cs) => if (cs > 0) cs * math.log(cs / math.max(bs, 1e-12)) else 0.0 }.sum,
+        "volume_drift" -> math.abs(ct - bt) / bt,
+        "temporal_l1" -> hs.map { case (bs, cs) => math.abs(cs - bs) }.sum
+      )
+      def sev(name: String, x: Double): String =
+        if (name == "volume_drift") {
+          if (x >= 0.3) "high" else if (x >= 0.15) "medium" else if (x >= 0.05) "low" else "none"
+        } else {
+          if (x >= 0.1) "high" else if (x >= 0.01) "medium" else if (x >= 0.001) "low" else "none"
+        }
+      import s.implicits._
+      checks.map { case (name, x) =>
+        (name, math.round(x * 1e6) / 1e6, sev(name, x))
+      }.toDF("check_name", "statistic", "severity")
     }),
 
     // ---- map-typed distribution aggregate: build MapType dist, total

@@ -26,14 +26,12 @@ object Analytics4 {
     // ---- feature encoding: log1p scaling, cyclical sin/cos hour
     //      encoding, euclidean distance (§2.9 rows 39/40/44) ----
     "q27_feature_encode" -> ((s, dir) => {
-      val peakW = Window.partitionBy("user_id").orderBy(col("cnt").desc, col("h"))
-      val peak = t(s, dir, "events")
-        .select(col("user_id"), hour(col("ts").cast("timestamp")).as("h"))
-        .groupBy("user_id", "h").agg(count(lit(1)).as("cnt"))
-        .withColumn("rk", row_number().over(peakW)).where(col("rk") === 1)
-      val n = t(s, dir, "events").groupBy("user_id").agg(count(lit(1)).as("n_events"))
+      // peak hour + event count from the shared single-scan
+      // grouping-sets pass (ColdStart.userPersona)
+      val up = graft.ops.ColdStart.userPersona(t(s, dir, "events"))
+        .select(col("user_id"), col("n_events"), col("peak_hour").as("h"))
       val tau = lit(2 * math.Pi) / 24
-      n.join(peak.select("user_id", "h"), "user_id")
+      up
         .withColumn("sin_h", sin(col("h") * tau))
         .withColumn("cos_h", cos(col("h") * tau))
         .select(
