@@ -102,7 +102,9 @@ object Pipeline {
       // scheduler backfills each job's shuffle/commit barriers with the
       // other chunks' tasks (sequential chunks left cores idle at every
       // barrier: measured 0.56 scaling efficiency 8→32 before this)
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.min(cfg.scoreChunks, 8))
+      val conc = sys.env.get("SPARK_GRAFT_SCORE_CONC").map(_.toInt)
+        .getOrElse(math.min(cfg.scoreChunks, 8))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, conc))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
       val futs = (0 until cfg.scoreChunks).map { i =>
