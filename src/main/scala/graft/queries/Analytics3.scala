@@ -47,8 +47,8 @@ object Analytics3 {
         .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
         .collect()
       // gid bit layout (cur_half, event_type, h): 1 = (half, type), 2 = (half, hour)
-      def hist(gid: Int, key: org.apache.spark.sql.Row => Any) =
-        gs.filter(_.getAs[Int]("gid") == gid)
+      def hist(gid: Long, key: org.apache.spark.sql.Row => Any) =
+        gs.filter(_.getAs[Number]("gid").longValue == gid)
           .map(r => (r.getAs[Boolean]("cur_half"), key(r)) -> r.getAs[Long]("n")).toMap
       val byType = hist(1, _.getAs[String]("event_type"))
       val byHour = hist(2, _.getAs[Int]("h"))
