@@ -33,10 +33,16 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     // task-metrics accounting: separates real CPU from GC and idle —
-    // the bench numbers are only meaningful with this attribution
+    // the bench numbers are only meaningful with this attribution.
+    // Bucketed by pipeline phase (PhaseTracker) so a driver-captured
+    // artifact explains WHERE the CPU/GC went without a rerun.
     val cpuNs = new java.util.concurrent.atomic.AtomicLong
     val gcMs = new java.util.concurrent.atomic.AtomicLong
     val runMs = new java.util.concurrent.atomic.AtomicLong
+    val phaseCpu = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val phaseGc = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    def bump(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong], k: String, v: Long): Unit =
+      m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
       override def onTaskEnd(te: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
         val m = te.taskMetrics
@@ -44,9 +50,33 @@ object Bench {
           cpuNs.addAndGet(m.executorCpuTime)
           gcMs.addAndGet(m.jvmGCTime)
           runMs.addAndGet(m.executorRunTime)
+          val ph = graft.util.PhaseTracker.get
+          bump(phaseCpu, ph, m.executorCpuTime)
+          bump(phaseGc, ph, m.jvmGCTime)
         }
       }
     })
+
+    // host-level attribution: if the box runs OTHER work during the
+    // bench, host busy CPU >> this process's CPU — provable from the
+    // artifact alone (round-2 lesson: a 2.2× task-CPU delta between two
+    // "identical" runs was otherwise unattributable)
+    def procStatBusy(): Double = {
+      // /proc/stat cpu line: user nice system idle iowait irq softirq steal
+      val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+        .split("\\s+").drop(1).map(_.toLong)
+      (parts.sum - parts(3) - (if (parts.length > 4) parts(4) else 0L)) / 100.0
+    }
+    def procSelfCpu(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean match {
+        case os: com.sun.management.OperatingSystemMXBean => os.getProcessCpuTime / 1e9
+        case _ => -1.0
+      }
+    def loadAvg(): Double =
+      java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    val hostBusy0 = scala.util.Try(procStatBusy()).getOrElse(-1.0)
+    val selfCpu0 = procSelfCpu()
+    val load0 = loadAvg()
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String)(body: => Unit): Double = {
@@ -68,6 +98,7 @@ object Bench {
       graft.pipeline.Pipeline.run(spark, spark.read.parquet(wuDocs), wuDir)
     }
     cpuNs.set(0); gcMs.set(0); runMs.set(0)
+    phaseCpu.clear(); phaseGc.clear()
 
     // --- resolution pipeline (fresh run dir => full compute + checkpoints) ---
     val scale = graft.queries.Resolution.scaleFor(sfDir)
@@ -102,8 +133,19 @@ object Bench {
     // stage walls are a breakdown of pir_e2e — don't double-count
     val total = results.filter { case (k, _) => k == "pir_e2e" || k.startsWith("q") }.values.sum
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    import scala.jdk.CollectionConverters._
+    def phaseJson(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong], div: Double) =
+      m.asScala.toSeq.sortBy(_._1)
+        .map { case (k, v) => "\"" + k + "\":" + (math.round(v.get / div * 1000) / 1000.0) }
+        .mkString("{", ",", "}")
+    val hostBusy1 = scala.util.Try(procStatBusy()).getOrElse(-1.0)
+    val env =
+      s""""max_heap_gb":${math.round(Runtime.getRuntime.maxMemory / 1e7) / 100.0},""" +
+        s""""host_busy_cpu_s":${math.round((hostBusy1 - hostBusy0) * 10) / 10.0},""" +
+        s""""proc_cpu_s":${math.round((procSelfCpu() - selfCpu0) * 10) / 10.0},""" +
+        s""""load_avg_start":$load0,"load_avg_end":${loadAvg()}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3}}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},$env}"""
     // belt-and-braces: the JSON also lands in a file (round 1's line was
     // swallowed by sbt's "[info] " log decoration — parsed:null)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")

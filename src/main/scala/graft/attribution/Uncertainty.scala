@@ -14,6 +14,13 @@ object Uncertainty {
 
   final case class Band(channel: String, lo: Double, hi: Double, mean: Double)
 
+  /** Per-replicate attribution, resilient to degenerate resamples: a
+    * replicate that zeroes all outflow from a transient channel makes
+    * (I − Q) singular and `Attribution.solve` throws — skip that
+    * replicate (returning None) instead of failing the whole job. */
+  private def tryAttribution(counts: Seq[(String, String, Long)]): Option[Map[String, Double]] =
+    scala.util.Try(Attribution.markovAttribution(Attribution.chainFromCounts(counts))).toOption
+
   /** Poisson-bootstrap the transition counts B times and recompute the
     * Markov attribution per replicate; returns per-channel percentile
     * bands. Poisson(n) resampling of an aggregated count table is the
@@ -28,7 +35,7 @@ object Uncertainty {
   ): Seq[Band] = {
     import spark.implicits._
     val cB = spark.sparkContext.broadcast(counts.toVector)
-    val reps: Seq[Map[String, Double]] = spark
+    val reps: Seq[Option[Seq[(String, Double)]]] = spark
       .range(b)
       .mapPartitions { it =>
         it.map { k =>
@@ -44,19 +51,96 @@ object Uncertainty {
             }
           }
           val resampled = cB.value.map { case (s, d, n) => (s, d, poisson(n.toDouble)) }.filter(_._3 > 0)
-          Attribution.markovAttribution(Attribution.chainFromCounts(resampled)).toSeq
+          tryAttribution(resampled).map(_.toSeq)
         }
       }
       .collect()
       .toSeq
-      .map(_.toMap)
 
+    // skipped (singular) replicates shrink the CI denominator honestly
+    // rather than polluting it with zeros or crashing the job
+    val kept = reps.flatten.map(_.toMap)
+    val nSkipped = reps.size - kept.size
+    if (nSkipped > 0)
+      System.err.println(s"[uncertainty] $nSkipped/$b bootstrap replicates singular — skipped")
+    require(kept.nonEmpty, "all bootstrap replicates degenerate")
+
+    bandsOf(kept, loQ, hiQ)
+  }
+
+  private def bandsOf(reps: Seq[Map[String, Double]], loQ: Double, hiQ: Double): Seq[Band] = {
     val channels = reps.flatMap(_.keys).distinct.sorted
     channels.map { ch =>
       val xs = reps.map(_.getOrElse(ch, 0.0)).sorted
       def pct(q: Double) = xs(math.min(xs.size - 1, math.max(0, math.round(q * (xs.size - 1)).toInt)))
       Band(ch, pct(loQ), pct(hiQ), xs.sum / xs.size)
     }
+  }
+
+  /** Dirichlet transition perturbation — the reference's third
+    * uncertainty mode (uncertainty_quantification.py:137-501): each
+    * replicate redraws every source row's outgoing transition
+    * distribution from Dirichlet(concentration × observed counts) and
+    * recomputes the Markov attribution. Higher `concentration` ⇒
+    * tighter bands around the point estimate. Same spark.range fan-out
+    * as the bootstrap (the aggregated count table is tiny and
+    * broadcast; the replicates are the parallel work). */
+  def dirichletMarkov(
+      spark: SparkSession,
+      counts: Seq[(String, String, Long)],
+      b: Int = 200,
+      concentration: Double = 1.0,
+      seed: Long = 42L,
+      loQ: Double = 0.025,
+      hiQ: Double = 0.975
+  ): Seq[Band] = {
+    val cB = spark.sparkContext.broadcast(counts.toVector)
+    import spark.implicits._
+    val reps = spark
+      .range(b)
+      .mapPartitions { it =>
+        it.map { k =>
+          val rng = new java.util.Random(seed ^ (k * 0x9E3779B97F4A7C15L))
+          // Gamma(α,1) via Marsaglia–Tsang (with the α<1 boost); a
+          // Dirichlet draw is normalized independent Gammas
+          def gamma(alpha: Double): Double = {
+            if (alpha < 1.0) {
+              val u = rng.nextDouble()
+              gamma(alpha + 1.0) * math.pow(u, 1.0 / alpha)
+            } else {
+              val d = alpha - 1.0 / 3.0
+              val c = 1.0 / math.sqrt(9.0 * d)
+              var r = -1.0
+              while (r < 0) {
+                val x = rng.nextGaussian()
+                val v = { val t = 1.0 + c * x; t * t * t }
+                if (v > 0) {
+                  val u = rng.nextDouble()
+                  if (math.log(u) < 0.5 * x * x + d - d * v + d * math.log(v)) r = d * v
+                }
+              }
+              r
+            }
+          }
+          // redraw each source's outgoing distribution; scale to 1e9 so
+          // the Long quantization is negligible (chainFromCounts
+          // normalizes per source — only the ratios matter)
+          val bySrc = cB.value.groupBy(_._1)
+          val perturbed = bySrc.toSeq.flatMap { case (_, rows) =>
+            val draws = rows.map { case (_, _, n) => gamma(math.max(1e-9, concentration * n)) }
+            val z = draws.sum
+            rows.zip(draws).map { case ((s, d, _), g) =>
+              (s, d, math.max(1L, math.round(g / z * 1e9)))
+            }
+          }
+          tryAttribution(perturbed).map(_.toSeq)
+        }
+      }
+      .collect()
+      .toSeq
+    val kept = reps.flatten.map(_.toMap)
+    require(kept.nonEmpty, "all Dirichlet replicates degenerate")
+    bandsOf(kept, loQ, hiQ)
   }
 
   /** α-sweep: hybrid attribution at α = 0, step, …, 1; per-channel

@@ -15,8 +15,10 @@ import org.apache.spark.sql.functions._
   * single machine's memory. BFS remains the small-scale test oracle
   * (ConnectedComponentsSpec).
   *
-  * Stable IDs: cluster_id = min member doc_id (lexicographic — doc ids
-  * are fixed-width), so reruns are byte-identical (resume idempotency).
+  * Stable IDs: cluster_id = min member doc_id under the id column's
+  * natural ordering (lexicographic for the fixed-width string ids,
+  * numeric for the pipeline's dictionary-encoded longs) — deterministic
+  * either way, so reruns are byte-identical (resume idempotency).
   */
 object ConnectedComponents {
 

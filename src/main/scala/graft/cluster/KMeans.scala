@@ -29,7 +29,12 @@ object KMeans {
       // z-score features within each group before fitting (the
       // reference normalizes inside its per-account model,
       // household_inference.py:321-326)
-      zScore: Boolean = false
+      zScore: Boolean = false,
+      // silhouette is exact O(n²) per group (matching the reference);
+      // above this size it is ESTIMATED on a deterministic stride
+      // subsample so one pathological 10⁵-member account cannot wedge
+      // a task for hours. Lloyd itself stays exact (O(n·k·iter)).
+      silhouetteSample: Int = 2000
   )
 
   final case class Fit(k: Int, centroids: Array[Array[Double]], assign: Array[Int], silhouette: Double)
@@ -111,6 +116,18 @@ object KMeans {
     vals.sum / n
   }
 
+  /** Silhouette (exact below `cap`, stride-subsample estimate above):
+    * sample indices 0, step, 2·step, … — deterministic, preserves the
+    * cluster mix of the sorted input, and bounds the cost at O(cap²). */
+  private[graft] def silhouetteCapped(pts: Array[Array[Double]], assign: Array[Int], k: Int, cap: Int): Double = {
+    if (pts.length <= cap) silhouette(pts, assign, k)
+    else {
+      val step = pts.length.toDouble / cap
+      val idx = Array.tabulate(cap)(i => (i * step).toInt)
+      silhouette(idx.map(pts), idx.map(assign), k)
+    }
+  }
+
   /** Silhouette-selected fit: try k = kMin..min(kMax, n/10 floor like
     * the reference); fall back to k = 1 when no k clears the threshold
     * (household_inference.py:328-369). */
@@ -120,7 +137,7 @@ object KMeans {
       return Fit(1, Array(mean(pts)), Array.fill(pts.length)(0), 0.0)
     val fits = (cfg.kMin to kCap).map { k =>
       val (cs, as) = lloyd(pts, k, cfg.maxIter, cfg.seed)
-      Fit(k, cs, as, silhouette(pts, as, k))
+      Fit(k, cs, as, silhouetteCapped(pts, as, k, cfg.silhouetteSample))
     }
     val best = fits.maxBy(_.silhouette)
     if (best.silhouette >= cfg.silhouetteThreshold) best

@@ -37,26 +37,40 @@ object Dedup {
   ) { def rows: Int = k / bands }
 
   /** Per-doc shingle-hash sets + MinHash band keys.
-    * Input: (id, text); output: (id, hashes, band, band_key). */
-  private def bandedSigs(docs0: DataFrame, cfg: MinHashCfg): DataFrame = {
+    * Input: (id, text); output: (id, hashes, band, band_key).
+    * `md5` switches shingle hashing to md5-derived values and band keys
+    * to positional arithmetic — both exactly reproducible by any engine
+    * (the cross-engine oracle path); default is the faster xxhash64. */
+  private def bandedSigs(docs0: DataFrame, cfg: MinHashCfg, md5: Boolean = false): DataFrame = {
     val docs = graft.util.Parallelism.ensure(docs0)
-    val hashes = docs.select(
-      col("id"),
-      TextOps.shingleHashes(TextOps.charShingles(TextOps.normText(col("text")), cfg.shingleN)).as("hashes")
-    ).localCheckpoint(true)
+    val shingles = TextOps.charShingles(TextOps.normText(col("text")), cfg.shingleN)
+    val hashExpr = if (md5) TextOps.shingleHashesMd5(shingles) else TextOps.shingleHashes(shingles)
+    val hashes = docs.select(col("id"), hashExpr.as("hashes")).localCheckpoint(true)
     val exploded = hashes.select(col("id"), explode(col("hashes")).as("h"))
     val aggs = TextOps.minhashAggExprs(col("h"), cfg.k, cfg.seed)
     val sig = exploded.groupBy("id").agg(aggs.head, aggs.tail: _*)
       .select(col("id"), TextOps.minhashSigFromAgg(cfg.k).as("sig"))
+    val bk =
+      if (md5) TextOps.bandKeysArith(col("sig"), cfg.bands, cfg.rows)
+      else TextOps.bandKeys(col("sig"), cfg.bands, cfg.rows)
     hashes
       .join(sig, "id")
-      .select(col("id"), col("hashes"), posexplode(TextOps.bandKeys(col("sig"), cfg.bands, cfg.rows)).as(Seq("band", "band_key")))
+      .select(col("id"), col("hashes"), posexplode(bk).as(Seq("band", "band_key")))
   }
 
   /** Candidate pairs from LSH buckets, verified with exact Jaccard over
     * the shingle-hash sets. Output: (id_a, id_b, jaccard). */
-  def nearDupPairs(docs: DataFrame, cfg: MinHashCfg = MinHashCfg()): DataFrame = {
-    val keyed = bandedSigs(docs, cfg)
+  def nearDupPairs(docs: DataFrame, cfg: MinHashCfg = MinHashCfg()): DataFrame =
+    nearDupPairsFrom(bandedSigs(docs, cfg), cfg)
+
+  /** Cross-engine-verifiable variant: md5 shingle hashes + arithmetic
+    * band keys (a DuckDB oracle reimplements the identical pipeline —
+    * see Analytics5.q32). Same banding/verify semantics as
+    * [[nearDupPairs]]. */
+  def nearDupPairsMd5(docs: DataFrame, cfg: MinHashCfg = MinHashCfg()): DataFrame =
+    nearDupPairsFrom(bandedSigs(docs, cfg, md5 = true), cfg)
+
+  private def nearDupPairsFrom(keyed: DataFrame, cfg: MinHashCfg): DataFrame = {
     val sizes = keyed.groupBy("band", "band_key").agg(count(lit(1)).as("n"))
     val kept = keyed.join(sizes.where(col("n") <= cfg.maxBucket), Seq("band", "band_key"))
     val a = kept.select(col("band"), col("band_key"), col("id").as("id_a"), col("hashes").as("h_a"))

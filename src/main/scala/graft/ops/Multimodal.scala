@@ -122,10 +122,16 @@ object Multimodal {
       }
       val deflater = new java.util.zip.Deflater()
       deflater.setInput(raw); deflater.finish()
-      val buf = new Array[Byte](raw.length + 64)
-      val n = deflater.deflate(buf)
+      // loop until finished(): a single fixed-buffer deflate call would
+      // silently truncate IDAT on incompressible scanline data
+      val zout = new java.io.ByteArrayOutputStream(raw.length / 2 + 64)
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished()) {
+        val n = deflater.deflate(buf)
+        zout.write(buf, 0, n)
+      }
       deflater.end()
-      chunk("IDAT", buf.take(n))
+      chunk("IDAT", zout.toByteArray)
       chunk("IEND", Array.empty[Byte])
       out.toByteArray
     }

@@ -86,14 +86,26 @@ object TextAnalysis {
   def tokenCountRegex(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"), lit(0)))
 
+  /** k-gram hashes in DOCUMENT ORDER (duplicates retained): winnowing
+    * windows slide over the original shingle sequence per Schleimer et
+    * al. 2003 — deduplication happens on the output fingerprints, not
+    * the input hashes (a pre-dedup would both deviate from the paper
+    * and make window content depend on engine-specific set ordering,
+    * which breaks cross-engine verification). */
+  private def orderedHashes(text: Column, k: Int, md5: Boolean): Column = {
+    val sh = TextOps.charShingles(TextOps.normText(text), k)
+    if (md5) transform(sh, s => conv(substring(org.apache.spark.sql.functions.md5(s), 1, 15), 16, 10).cast("long"))
+    else transform(sh, s => xxhash64(s))
+  }
+
   /** Winnowing document fingerprints (Schleimer et al. 2003): k-gram
-    * rolling hashes, minimum per sliding window of w, distinct mins.
-    * Per-row array-combinator form — fine for short strings, but the
-    * `slice(hashes, …)` inside the lambda re-evaluates the whole hash
-    * array per window (O(n²·w) per doc). For corpora use
+    * rolling hashes in document order, minimum per sliding window of w,
+    * distinct mins. Per-row array-combinator form — fine for short
+    * strings, but the `slice(hashes, …)` inside the lambda re-evaluates
+    * the whole hash array per window (O(n²·w) per doc). For corpora use
     * [[fingerprintRows]], the explode + window-min formulation. */
   def fingerprints(text: Column, k: Int = 5, w: Int = 8): Column = {
-    val hashes = TextOps.shingleHashes(TextOps.charShingles(TextOps.normText(text), k))
+    val hashes = orderedHashes(text, k, md5 = false)
     val n = size(hashes)
     when(n <= w, array_distinct(when(n > 0, array(array_min(hashes))).otherwise(array().cast("array<long>"))))
       .otherwise(array_distinct(transform(sequence(lit(0), n - w), j => array_min(slice(hashes, j + 1, lit(w))))))
@@ -103,10 +115,19 @@ object TextAnalysis {
     * window-min. Explode shingle hashes once, sliding min via a window
     * frame — hash computation runs exactly once per shingle and the
     * work distributes across the cluster (one shuffle on id). */
-  def fingerprintRows(docs0: org.apache.spark.sql.DataFrame, k: Int = 5, w: Int = 8): org.apache.spark.sql.DataFrame = {
+  def fingerprintRows(docs0: org.apache.spark.sql.DataFrame, k: Int = 5, w: Int = 8): org.apache.spark.sql.DataFrame =
+    fingerprintRowsWith(docs0, k, w, md5 = false)
+
+  /** Cross-engine-verifiable winnowing: md5-derived shingle hashes so a
+    * DuckDB oracle can recompute the identical fingerprint set
+    * (Analytics5.q33). Same windowing semantics as [[fingerprintRows]]. */
+  def fingerprintRowsMd5(docs0: org.apache.spark.sql.DataFrame, k: Int = 5, w: Int = 8): org.apache.spark.sql.DataFrame =
+    fingerprintRowsWith(docs0, k, w, md5 = true)
+
+  private def fingerprintRowsWith(docs0: org.apache.spark.sql.DataFrame, k: Int, w: Int, md5: Boolean): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val docs = graft.util.Parallelism.ensure(docs0)
-    val hashes = graft.text.TextOps.shingleHashes(graft.text.TextOps.charShingles(graft.text.TextOps.normText(col("text")), k))
+    val hashes = orderedHashes(col("text"), k, md5)
     val ex = docs.select(col("id"), posexplode(hashes).as(Seq("pos", "h")))
     val frame = Window.partitionBy("id").orderBy("pos").rowsBetween(0, w - 1)
     ex

@@ -35,7 +35,17 @@ object Pipeline {
       // a run killed mid-scoring redoes only unfinished chunks, not the
       // whole stage (the reference's analog removes cached results from
       // the work set, src/api/optimized_api_server.py:673-700)
-      scoreChunks: Int = 4
+      scoreChunks: Int = 4,
+      // dictionary-encode doc ids to longs (nid = xxhash64(doc_id))
+      // through B/S/C: variable-width string ids otherwise ride every
+      // exploded span-pair row, every scored pair, and every CC
+      // iteration — pure shuffle/aggregate payload. Long keys hash and
+      // compare in one instruction and shrink the dominant streams.
+      // Ids map back to strings at the clusters output (and lazily on
+      // the Result accessors); a distinct-count guard fails loudly on
+      // the ~n²/2⁶⁴ hash-collision case (at 10¹² docs switch to a
+      // precomputed dense-id dictionary instead).
+      dictIds: Boolean = true
   )
 
   final case class Result(
@@ -49,9 +59,21 @@ object Pipeline {
 
   /** Run (or resume) the pipeline. `docs` must have the input_hint
     * shape; stage outputs are written under `runDir`. */
-  def run(spark: SparkSession, docs: DataFrame, runDir: String, cfg: Cfg = Cfg()): Result = {
+  def run(spark: SparkSession, docs0: DataFrame, runDir: String, cfg: Cfg = Cfg()): Result = {
     val runId = "run"
     new java.io.File(runDir).mkdirs()
+
+    // internal long ids (see Cfg.dictIds); the checkpointed clusters
+    // table and the Result accessors expose original string ids
+    val docs = if (cfg.dictIds) docs0.withColumn("doc_id", xxhash64(col("doc_id"))) else docs0
+    lazy val idMap = docs0.select(col("doc_id").as("orig_id"), xxhash64(col("doc_id")).as("nid"))
+    def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
+      if (!cfg.dictIds) df
+      else idCols.foldLeft(df) { (d, c) =>
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
+          .drop(c)
+          .withColumnRenamed(s"${c}__s", c)
+      }
 
     def stage(name: String, metrics: DataFrame => Seq[(String, Double)] = _ => Nil)(
         compute: => DataFrame
@@ -71,10 +93,22 @@ object Pipeline {
     // Stage B — key table materialized once (lazily, only when the
     // candidates checkpoint is absent), shared by the pair join and the
     // drop-accounting metrics.
+    graft.util.PhaseTracker.set("blocking")
     lazy val keys = Blocking.docKeys(docs, cfg.blocking).localCheckpoint(true)
     val candidates = stage(
       "candidates",
       out => {
+        if (cfg.dictIds) {
+          // loud collision guard: one pruned single-column pass per
+          // fresh run; at 10¹² ids replace the hash with a dense-id
+          // dictionary (collisions become certain at that scale)
+          val ids = docs0.agg(
+            countDistinct(col("doc_id")).as("n"),
+            countDistinct(xxhash64(col("doc_id"))).as("nh")
+          ).head()
+          require(ids.getLong(0) == ids.getLong(1),
+            s"xxhash64 doc_id collision (${ids.getLong(0)} ids -> ${ids.getLong(1)} hashes); rerun with dictIds=false")
+        }
         val drops = Blocking.dropMetrics(keys, cfg.blocking).head()
         Seq(
           "candidate_pairs" -> out.count().toDouble,
@@ -89,6 +123,7 @@ object Pipeline {
     // Stage S0 — doc representations, checkpointed once and shared by
     // every scoring chunk (recomputing them per chunk would re-scan the
     // whole input scoreChunks times)
+    graft.util.PhaseTracker.set("scoring")
     val textRep = stage("text_rep")(Scoring.textRep(docs))
     val mediaRep = stage("media_rep")(Scoring.mediaRep(docs))
 
@@ -98,6 +133,26 @@ object Pipeline {
     val scoredPath = s"$runDir/scored_pairs"
     if (!done(scoredPath)) {
       val t0 = System.nanoTime()
+      // chunk-count marker: the stage read below globs every chunk=*
+      // dir, so chunks committed by an earlier attempt with a DIFFERENT
+      // scoreChunks would silently duplicate scored pairs on resume.
+      // Mismatch => the old partition of the pair set is incompatible;
+      // drop all chunk dirs and start the stage over.
+      locally {
+        val marker = java.nio.file.Paths.get(s"$scoredPath/_chunks")
+        val prior =
+          if (java.nio.file.Files.exists(marker))
+            scala.util.Try(java.nio.file.Files.readString(marker).trim.toInt).toOption
+          else None
+        if (!prior.contains(cfg.scoreChunks)) {
+          val d = new java.io.File(scoredPath)
+          if (d.exists()) d.listFiles().filter(_.getName.startsWith("chunk=")).foreach { f =>
+            org.apache.commons.io.FileUtils.deleteQuietly(f)
+          }
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.writeString(marker, cfg.scoreChunks.toString)
+        }
+      }
       // chunks are independent jobs — submit them CONCURRENTLY so the
       // scheduler backfills each job's shuffle/commit barriers with the
       // other chunks' tasks (sequential chunks left cores idle at every
@@ -135,6 +190,7 @@ object Pipeline {
     val scored = spark.read.parquet(scoredPath).drop("chunk")
 
     // Stage C
+    graft.util.PhaseTracker.set("clustering")
     var ccIters = -1
     val clusters = stage(
       "clusters",
@@ -147,12 +203,22 @@ object Pipeline {
       val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val r = ConnectedComponents.run(edges, docs.select("doc_id"), cfg.ccMaxIter)
       ccIters = r.iterations
-      // C2: aggregate-evidence singleton attachment (see Attach)
-      Attach
-        .attachSingletons(r.assignments.localCheckpoint(true), scored)
-        .repartitionByRange(col("cluster_id"), col("doc_id"))
+      // C2: aggregate-evidence singleton attachment (see Attach), then
+      // dictionary decode — the stored clusters table is user-facing
+      // and carries original ids (cluster_id = the doc_id of the
+      // min-nid member; deterministic, so resume stays byte-stable)
+      mapBack(
+        Attach.attachSingletons(r.assignments.localCheckpoint(true), scored),
+        Seq("doc_id", "cluster_id")
+      ).repartitionByRange(col("cluster_id"), col("doc_id"))
     }
 
-    Result(candidates, scored, clusters, ccIters)
+    graft.util.PhaseTracker.set("other")
+    Result(
+      mapBack(candidates, Seq("doc_a", "doc_b")),
+      mapBack(scored, Seq("doc_a", "doc_b")),
+      clusters,
+      ccIters
+    )
   }
 }

@@ -35,16 +35,25 @@ object Analytics3 {
     "q19_drift_report" -> ((s, dir) => {
       val ev = t(s, dir, "events")
         .select(col("event_type"), unix_micros(col("ts").cast("timestamp")).as("us"),
-          hour(col("ts").cast("timestamp")).as("h"))
+          hour(col("ts").cast("timestamp")).as("h"), col("value"))
       val mid = ev.agg(min(col("us")) + floor((max(col("us")) - min(col("us"))) / 2).cast("long"))
         .head().getLong(0)
+      // third grouping set (cur_half alone) feeds the confidence-drift
+      // check: per-half mean of the normalized event value (the
+      // confidence analog on the driver tables — the reference compares
+      // mean assignment confidence, drift_detection.py:282-315).
+      // Decimal sums keep the cross-engine averages exact.
       val gs = ev
         .withColumn("cur_half", col("us") >= mid)
         .groupingSets(
-          Seq(Seq(col("cur_half"), col("event_type")), Seq(col("cur_half"), col("h"))),
+          Seq(Seq(col("cur_half"), col("event_type")), Seq(col("cur_half"), col("h")),
+            Seq(col("cur_half"))),
           col("cur_half"), col("event_type"), col("h")
         )
-        .agg(count(lit(1)).as("n"), grouping_id().as("gid"))
+        .agg(count(lit(1)).as("n"), grouping_id().as("gid"),
+          sum(col("value").cast("decimal(18,2)")).as("sv"),
+          count(col("value")).as("nv"),
+          max(col("value")).as("mv"))
         .collect()
       // gid bit layout (cur_half, event_type, h): 1 = (half, type), 2 = (half, hour)
       def hist(gid: Long, key: org.apache.spark.sql.Row => Any) =
@@ -62,22 +71,43 @@ object Analytics3 {
       val hs = shares(byHour.asInstanceOf[Map[(Boolean, Any), Long]])
       val bt = byType.collect { case ((false, _), n) => n }.sum.toDouble
       val ct = byType.collect { case ((true, _), n) => n }.sum.toDouble
+      // confidence drift (reference drift_detection.py:282-315):
+      // drop = mean(conf | baseline) − mean(conf | current) with
+      // conf = value / global max — positive drop = degradation
+      val confRows = gs.filter(_.getAs[Number]("gid").longValue == 3)
+      val avgOf = confRows.map { r =>
+        r.getAs[Boolean]("cur_half") ->
+          r.getAs[java.math.BigDecimal]("sv").doubleValue / r.getAs[Long]("nv")
+      }.toMap
+      val vmax = confRows.map(_.getAs[Double]("mv")).max
+      val confDrop = (avgOf(false) - avgOf(true)) / vmax
       val checks = Seq(
         "composition_chi2" -> ts.map { case (bs, cs) => (cs - bs) * (cs - bs) / math.max(bs, 1e-12) }.sum,
+        "confidence_drift" -> confDrop,
         "kl_divergence" -> ts.map { case (bs, cs) => if (cs > 0) cs * math.log(cs / math.max(bs, 1e-12)) else 0.0 }.sum,
         "volume_drift" -> math.abs(ct - bt) / bt,
         "temporal_l1" -> hs.map { case (bs, cs) => math.abs(cs - bs) }.sum
       )
-      def sev(name: String, x: Double): String =
-        if (name == "volume_drift") {
+      def sev(name: String, x: Double): String = name match {
+        case "volume_drift" =>
           if (x >= 0.3) "high" else if (x >= 0.15) "medium" else if (x >= 0.05) "low" else "none"
-        } else {
+        case "confidence_drift" =>
+          // reference alert threshold: drop > 0.2 (config default)
+          if (x >= 0.2) "high" else if (x >= 0.1) "medium" else if (x >= 0.02) "low" else "none"
+        case _ =>
           if (x >= 0.1) "high" else if (x >= 0.01) "medium" else if (x >= 0.001) "low" else "none"
-        }
-      import s.implicits._
-      checks.map { case (name, x) =>
+      }
+      // recluster trigger (drift_detection.py:76-77,224-226): the MAX
+      // severity across checks, reclustering at >= 0.7. Discrete score
+      // mapping none/low/medium/high -> 0/0.25/0.5/1.
+      val sevScore = Map("none" -> 0.0, "low" -> 0.25, "medium" -> 0.5, "high" -> 1.0)
+      val rows = checks.map { case (name, x) =>
         (name, math.round(x * 1e6) / 1e6, sev(name, x))
-      }.toDF("check_name", "statistic", "severity")
+      }
+      val trig = rows.map(r => sevScore(r._3)).max
+      val all = rows :+ (("recluster_trigger", trig, if (trig >= 0.7) "trigger" else "none"))
+      import s.implicits._
+      all.toDF("check_name", "statistic", "severity")
     }),
 
     // ---- map-typed distribution aggregate: build MapType dist, total
@@ -184,21 +214,40 @@ object Analytics3 {
            CAST(coalesce(bh.n,0) AS DOUBLE)/bht.t AS bs,
            CAST(coalesce(ch.n,0) AS DOUBLE)/cht.t AS cs
          FROM bh FULL JOIN ch ON bh.h = ch.h, bht, cht),
+       cf AS (
+         SELECT (CAST(sum(CASE WHEN epoch_us(ts) < mid THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / count(CASE WHEN epoch_us(ts) < mid THEN value END)
+               - CAST(sum(CASE WHEN epoch_us(ts) >= mid THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+                   / count(CASE WHEN epoch_us(ts) >= mid THEN value END))
+              / max(value) AS drop
+         FROM events, b),
        checks AS (
          SELECT 'composition_chi2' AS check_name, sum(pow(cs - bs, 2) / greatest(bs, 1e-12)) AS statistic FROM shares
+         UNION ALL
+         SELECT 'confidence_drift', drop FROM cf
          UNION ALL
          SELECT 'kl_divergence', sum(CASE WHEN cs > 0 THEN cs * ln(cs / greatest(bs, 1e-12)) ELSE 0 END) FROM shares
          UNION ALL
          SELECT 'volume_drift', abs(CAST(ct.t AS DOUBLE) - bt.t) / bt.t FROM bt, ct
          UNION ALL
-         SELECT 'temporal_l1', sum(abs(cs - bs)) FROM hshares)
-       SELECT check_name, round(statistic, 6) AS statistic,
-         CASE WHEN check_name = 'volume_drift' THEN
-           (CASE WHEN statistic >= 0.3 THEN 'high' WHEN statistic >= 0.15 THEN 'medium' WHEN statistic >= 0.05 THEN 'low' ELSE 'none' END)
-         ELSE
-           (CASE WHEN statistic >= 0.1 THEN 'high' WHEN statistic >= 0.01 THEN 'medium' WHEN statistic >= 0.001 THEN 'low' ELSE 'none' END)
-         END AS severity
-       FROM checks""",
+         SELECT 'temporal_l1', sum(abs(cs - bs)) FROM hshares),
+       sevd AS (
+         SELECT check_name, statistic,
+           CASE WHEN check_name = 'volume_drift' THEN
+             (CASE WHEN statistic >= 0.3 THEN 'high' WHEN statistic >= 0.15 THEN 'medium' WHEN statistic >= 0.05 THEN 'low' ELSE 'none' END)
+           WHEN check_name = 'confidence_drift' THEN
+             (CASE WHEN statistic >= 0.2 THEN 'high' WHEN statistic >= 0.1 THEN 'medium' WHEN statistic >= 0.02 THEN 'low' ELSE 'none' END)
+           ELSE
+             (CASE WHEN statistic >= 0.1 THEN 'high' WHEN statistic >= 0.01 THEN 'medium' WHEN statistic >= 0.001 THEN 'low' ELSE 'none' END)
+           END AS severity
+         FROM checks)
+       SELECT check_name, round(statistic, 6) AS statistic, severity FROM sevd
+       UNION ALL
+       SELECT 'recluster_trigger',
+         max(CASE severity WHEN 'high' THEN CAST(1.0 AS DOUBLE) WHEN 'medium' THEN 0.5 WHEN 'low' THEN 0.25 ELSE 0.0 END),
+         CASE WHEN max(CASE severity WHEN 'high' THEN CAST(1.0 AS DOUBLE) WHEN 'medium' THEN 0.5 WHEN 'low' THEN 0.25 ELSE 0.0 END) >= 0.7
+              THEN 'trigger' ELSE 'none' END
+       FROM sevd""",
     "q20_user_type_share" ->
       """SELECT user_id, event_type, n,
          round(CAST(n AS DOUBLE)/sum(n) OVER (PARTITION BY user_id), 6) AS share

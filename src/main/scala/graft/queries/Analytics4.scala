@@ -50,9 +50,14 @@ object Analytics4 {
     // ---- cross-engine SimHash near-dup pairs: md5 word hashes,
     //      60-bit sketch, banded candidates, hamming <= 3 (the DuckDB
     //      oracle recomputes the identical sketch brute-force) ----
+    // maxBucket is UNCAPPED here: the DuckDB oracle is brute-force over
+    // all pairs, so the banded side must not drop oversized buckets or
+    // the claimed set equality breaks on homogeneous corpora. Production
+    // use keeps the default cap (Dedup.simhashMd5Pairs).
     "q28_simhash_md5" -> ((s, dir) =>
       graft.ops.Dedup.simhashMd5Pairs(
-        t(s, dir, "documents").select(col("doc_id").as("id"), col("text")))),
+        t(s, dir, "documents").select(col("doc_id").as("id"), col("text")),
+        maxBucket = Int.MaxValue)),
 
     // ---- centroid drift (the 5th reference drift check,
     //      drift_detection.py:230-260): L2 shift of per-label mean

@@ -1,0 +1,193 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.ops.{Dedup, TextAnalysis}
+import graft.text.TextOps
+
+/** Fifth batch — round-3 oracle conversions and the feedback-loop
+  * significance test:
+  *
+  *  - q31: prediction-vs-outcome A/B trend with a two-proportion
+  *    z-test per day (reference: src/core/feedback_loop.py:121-611 and
+  *    the p-value machinery in
+  *    src/validation/attribution_lift.py:396-417 — we use the standard
+  *    unpooled two-proportion z instead of the reference's simplified
+  *    single-n SE; both are closed-form and the z is what gates
+  *    significance).
+  *  - q32/q33: the MinHash near-dup and winnowing-fingerprint operators
+  *    re-keyed on md5-derived hashes so DuckDB recomputes the IDENTICAL
+  *    pipeline (the q28 cross-engine pattern) — these oracle the same
+  *    machinery `op_minhash_neardup` / `op_fingerprint_overlap` run
+  *    with xxhash64.
+  */
+object Analytics5 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  private def docsStr(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id").cast("string").as("id"), col("text"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- feedback loop: per-day conversion outcome per md5 A/B bucket,
+    //      two-proportion z-test. Two-level aggregate (user-day grain
+    //      first) instead of 4 countDistincts — avoids an Expand ×4 of
+    //      the event stream ----
+    "q31_feedback_significance" -> ((s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("bucket",
+          pmod(conv(substring(md5(col("user_id").cast("string")), 1, 15), 16, 10).cast("long"), lit(2)))
+        .withColumn("day", date_format(to_date(col("ts").cast("timestamp")), "yyyy-MM-dd"))
+      val u = ev.groupBy("day", "bucket", "user_id")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0)).as("conv"))
+      val d = u.groupBy("day").agg(
+        sum(when(col("bucket") === 0, 1).otherwise(0)).as("n0"),
+        sum(when(col("bucket") === 0, col("conv")).otherwise(0)).as("c0"),
+        sum(when(col("bucket") === 1, 1).otherwise(0)).as("n1"),
+        sum(when(col("bucket") === 1, col("conv")).otherwise(0)).as("c1")
+      )
+      val p0 = col("c0").cast("double") / col("n0")
+      val p1 = col("c1").cast("double") / col("n1")
+      val se = sqrt(p0 * (lit(1.0) - p0) / col("n0") + p1 * (lit(1.0) - p1) / col("n1"))
+      d.select(
+        col("day"), col("n0"), col("c0"), col("n1"), col("c1"),
+        round(p0, 6).as("p0"),
+        round(p1, 6).as("p1"),
+        when(se > 0, round((p1 - p0) / se, 6)).otherwise(lit(0.0)).as("z_stat"),
+        when(se > 0, abs((p1 - p0) / se) >= 1.96).otherwise(lit(false)).as("significant")
+      )
+    }),
+
+    // ---- md5 MinHash near-dup pairs (cross-engine twin of
+    //      op_minhash_neardup's machinery). Bucket cap deliberately
+    //      uncapped: the oracle reimplements the banding exactly, and a
+    //      capped side would silently drop pairs on homogeneous
+    //      corpora (production path keeps the default cap) ----
+    "q32_minhash_md5" -> ((s, dir) =>
+      Dedup.nearDupPairsMd5(
+        docsStr(s, dir),
+        Dedup.MinHashCfg(jaccardThreshold = 0.35, maxBucket = Int.MaxValue)
+      ).select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+
+    // ---- md5 winnowing-fingerprint overlap pairs (cross-engine twin
+    //      of op_fingerprint_overlap) ----
+    "q33_fingerprint_md5" -> ((s, dir) => {
+      val fp = TextAnalysis.fingerprintRowsMd5(docsStr(s, dir)).localCheckpoint(true)
+      val rare = fp.groupBy("fp").agg(count(lit(1)).as("df")).where(col("df") <= 50)
+      val kept = fp.join(rare.select("fp"), "fp")
+      val a = kept.select(col("fp"), col("id").as("id_a"))
+      val b = kept.select(col("fp"), col("id").as("id_b"))
+      a.join(b, "fp").where(col("id_a") < col("id_b"))
+        .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fp"))
+        .where(col("shared_fp") >= 2)
+    })
+  )
+
+  // ---- oracle SQL ----
+
+  private val P = TextOps.mersennePrime
+
+  /** normText + md5 shingle-hash list, shared by the q32/q33 oracles
+    * (mirrors TextOps.normText/charShingles: shingles of n chars,
+    * whole-string shingle when 0 < len < n, none when empty).
+    * `distinct = true` mirrors shingleHashesMd5's set semantics (the
+    * MinHash/Jaccard path); q33's winnowing keeps DOCUMENT ORDER with
+    * duplicates — DuckDB's list_distinct does not preserve order, and
+    * winnowing windows are order-sensitive. */
+  private def md5ShingleCtes(n: Int, distinct: Boolean): String = {
+    val wrap: String => String = e => if (distinct) s"list_distinct($e)" else e
+    s"""WITH t AS (
+       SELECT CAST(doc_id AS VARCHAR) AS id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+       FROM documents),
+     sh AS (
+       SELECT id, ${wrap(s"""list_transform(
+         CASE WHEN len(nt) = 0 THEN CAST([] AS VARCHAR[])
+              WHEN len(nt) < $n THEN [nt]
+              ELSE list_transform(range(0, len(nt) - ${n - 1}), i -> substr(nt, CAST(i + 1 AS INTEGER), $n)) END,
+         s -> CAST(('0x' || substr(md5(s), 1, 15)) AS BIGINT))""")} AS hs
+       FROM t)"""
+  }
+
+  /** q32 oracle: the identical md5-shingle MinHash/band/verify pipeline
+    * in DuckDB — same affine constants, same arithmetic band keys. */
+  private def minhashOracle: String = {
+    val cfg = Dedup.MinHashCfg() // shingleN=5, k=32, bands=16, rows=2
+    val ab = TextOps.affineConsts(cfg.k, cfg.seed)
+    val mins = ab
+      .map { case (a, b) => s"list_min(list_transform(hs, h -> ((h % $P) * $a + $b) % $P))" }
+      .mkString("[\n         ", ",\n         ", "\n       ]")
+    val bandKey = (0 until cfg.bands)
+      .map(j => s"WHEN $j THEN mh[${2 * j + 1}] * $P + mh[${2 * j + 2}]")
+      .mkString("CASE b.j ", " ", " END")
+    md5ShingleCtes(cfg.shingleN, distinct = true) +
+      s""",
+     sig AS (SELECT id, hs, $mins AS mh FROM sh WHERE len(hs) > 0),
+     banded AS (
+       SELECT id, hs, b.j AS band, $bandKey AS bk
+       FROM sig, (SELECT unnest(range(${cfg.bands})) AS j) b),
+     cand AS (
+       SELECT a.id AS id_a, b.id AS id_b, any_value(a.hs) AS ha, any_value(b.hs) AS hb
+       FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
+       GROUP BY 1, 2)
+     SELECT id_a, id_b,
+       round(CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(list_distinct(ha || hb)), 6) AS jaccard
+     FROM cand
+     WHERE CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(list_distinct(ha || hb)) >= ${cfg.jaccardThreshold}"""
+  }
+
+  /** q33 oracle: identical winnowing — window-of-8 minima over the
+    * md5 shingle-hash list, distinct; complete windows only, short
+    * docs keep their one global min. */
+  private def fingerprintOracle: String =
+    md5ShingleCtes(5, distinct = false) +
+      s""",
+     fps AS (
+       SELECT id, unnest(
+         CASE WHEN len(hs) = 0 THEN CAST([] AS BIGINT[])
+              WHEN len(hs) < 8 THEN [list_min(hs)]
+              ELSE list_distinct(list_transform(range(0, len(hs) - 7), j ->
+                 list_min(hs[CAST(j + 1 AS INTEGER):CAST(j + 8 AS INTEGER)]))) END) AS fp
+       FROM sh),
+     rare AS (SELECT fp FROM fps GROUP BY fp HAVING count(*) <= 50)
+     SELECT a.id AS id_a, b.id AS id_b, count(*) AS shared_fp
+     FROM (SELECT f.id, f.fp FROM fps f JOIN rare USING (fp)) a
+     JOIN (SELECT f.id, f.fp FROM fps f JOIN rare USING (fp)) b
+       ON a.fp = b.fp AND a.id < b.id
+     GROUP BY 1, 2
+     HAVING count(*) >= 2"""
+
+  val oracleSql: Map[String, String] = Map(
+    "q31_feedback_significance" ->
+      """WITH e AS (
+         SELECT user_id, event_type,
+           CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2 AS bucket,
+           strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day
+         FROM events),
+       u AS (
+         SELECT day, bucket, user_id,
+           max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+         FROM e GROUP BY 1, 2, 3),
+       d AS (
+         SELECT day,
+           CAST(sum(CASE WHEN bucket = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+           CAST(sum(CASE WHEN bucket = 0 THEN conv ELSE 0 END) AS BIGINT) AS c0,
+           CAST(sum(CASE WHEN bucket = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+           CAST(sum(CASE WHEN bucket = 1 THEN conv ELSE 0 END) AS BIGINT) AS c1
+         FROM u GROUP BY day),
+       z AS (
+         SELECT day, n0, c0, n1, c1,
+           CAST(c0 AS DOUBLE)/n0 AS rp0, CAST(c1 AS DOUBLE)/n1 AS rp1,
+           sqrt((CAST(c0 AS DOUBLE)/n0) * (1.0 - CAST(c0 AS DOUBLE)/n0) / n0
+              + (CAST(c1 AS DOUBLE)/n1) * (1.0 - CAST(c1 AS DOUBLE)/n1) / n1) AS se
+         FROM d)
+       SELECT day, n0, c0, n1, c1,
+         round(rp0, 6) AS p0, round(rp1, 6) AS p1,
+         CASE WHEN se > 0 THEN round((rp1 - rp0) / se, 6) ELSE 0.0 END AS z_stat,
+         CASE WHEN se > 0 THEN abs((rp1 - rp0) / se) >= 1.96 ELSE false END AS significant
+       FROM z""",
+    "q32_minhash_md5" -> minhashOracle,
+    "q33_fingerprint_md5" -> fingerprintOracle
+  )
+}

@@ -154,7 +154,16 @@ object Scoring {
 
   /** Score against precomputed doc representations (the pipeline
     * checkpoints them once and reuses them across resume-able scoring
-    * chunks — recomputing reps per chunk would re-scan the input). */
+    * chunks — recomputing reps per chunk would re-scan the input).
+    *
+    * PRECONDITION: `candidates` must be distinct on (doc_a, doc_b).
+    * The text branch's terminal aggregate dedups, but the media branch
+    * joins back at candidate-row grain, so duplicate input pairs yield
+    * duplicate scored rows. Blocking.candidatesFromKeys guarantees
+    * distinctness (terminal groupBy(doc_a, doc_b)); callers feeding
+    * hand-built pair sets must dropDuplicates first — deliberately NOT
+    * done here, it would add a full extra shuffle of the candidate set
+    * to every scoring chunk. */
   def scoreWithReps(candidates: DataFrame, txt: DataFrame, med: DataFrame, w: Weights = Weights()): DataFrame = {
     val pairs = candidates.select("doc_a", "doc_b")
     val medA = med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))

@@ -34,6 +34,13 @@ object TextOps {
   def shingleHashes(shingles: Column): Column =
     array_distinct(transform(shingles, s => xxhash64(s)))
 
+  /** md5-derived 60-bit shingle hashes — ~2× the cost of xxhash64 but
+    * available in every engine, so pipelines built on these are
+    * cross-engine verifiable (a DuckDB oracle recomputes the identical
+    * values via `CAST('0x' || substr(md5(s),1,15) AS BIGINT)`). */
+  def shingleHashesMd5(shingles: Column): Column =
+    array_distinct(transform(shingles, s => conv(substring(md5(s), 1, 15), 16, 10).cast("long")))
+
   /** Mersenne prime 2^31 − 1: the universal-hash modulus. Products
     * (a_i < P) · (x < P) stay under 2^62, so the arithmetic is exact
     * under ANSI mode (no Long overflow). */
@@ -74,4 +81,24 @@ object TextOps {
     val ks = (0 until bands).map(j => xxhash64(lit(j), slice(sig, j * rows + 1, rows)))
     when(sig.isNotNull, array(ks: _*))
   }
+
+  /** Arithmetic band keys for the cross-engine-verifiable path: the r
+    * signature values of a band combined positionally as Σ v·P^i — pure
+    * BIGINT arithmetic any engine reproduces exactly (each v < P, so
+    * r ≤ 2 stays under 2^62; xxhash64 band mixing is Spark-only).
+    * Band identity downstream is (band index, key). */
+  def bandKeysArith(sig: Column, bands: Int, rows: Int): Column = {
+    require(rows <= 2, "arithmetic band keys overflow Long beyond 2 rows per band")
+    val ks = (0 until bands).map { j =>
+      (0 until rows)
+        .map(r => element_at(sig, j * rows + r + 1))
+        .reduce((a, b) => a * lit(P) + b)
+    }
+    when(sig.isNotNull, array(ks: _*))
+  }
+
+  /** The Mersenne modulus and affine constants, exposed so oracle SQL
+    * can be generated with the exact same "permutations". */
+  val mersennePrime: Long = P
+  def affineConsts(k: Int, seed: Long = 42L): Seq[(Long, Long)] = affine(k, seed).toSeq
 }

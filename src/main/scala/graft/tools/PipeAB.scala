@@ -22,7 +22,8 @@ object PipeAB {
       val dir = s"/tmp/graft_pipe_ab_$i"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val t0 = System.nanoTime()
-      Pipeline.run(spark, docs, dir)
+      val cfg = Pipeline.Cfg(dictIds = sys.env.get("SPARK_GRAFT_DICT_IDS").forall(_ != "0"))
+      Pipeline.run(spark, docs, dir, cfg)
       val wall = (System.nanoTime() - t0) / 1e9
       val m = spark.read.parquet(s"$dir/metrics").collect()
         .map(r => (r.getString(0), r.getString(2)) -> r.getDouble(3)).toMap

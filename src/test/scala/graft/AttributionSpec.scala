@@ -139,4 +139,37 @@ class AttributionSpec extends AnyFunSuite {
     val sweep = Uncertainty.alphaSweep(point, Map("A" -> 0.5, "B" -> 0.5))
     sweep.foreach(b => assert(b.lo <= b.mean && b.mean <= b.hi))
   }
+
+  test("Dirichlet perturbation: bands bracket the point estimate and tighten with concentration") {
+    val counts = Seq(
+      ("START", "A", 50L), ("START", "B", 50L),
+      ("A", "CONV", 30L), ("A", "NULL", 20L),
+      ("B", "CONV", 10L), ("B", "NULL", 40L)
+    )
+    val point = Attribution.markovAttribution(Attribution.chainFromCounts(counts))
+    val loose = Uncertainty.dirichletMarkov(spark, counts, b = 80, concentration = 1.0)
+      .map(b => b.channel -> b).toMap
+    val tight = Uncertainty.dirichletMarkov(spark, counts, b = 80, concentration = 50.0)
+      .map(b => b.channel -> b).toMap
+    point.foreach { case (ch, v) =>
+      val l = loose(ch); val t = tight(ch)
+      assert(l.lo <= v + 0.05 && l.hi >= v - 0.05, s"$ch: point $v outside loose [${l.lo}, ${l.hi}]")
+      assert(t.lo <= v + 0.05 && t.hi >= v - 0.05, s"$ch: point $v outside tight [${t.lo}, ${t.hi}]")
+      assert(t.hi - t.lo < l.hi - l.lo + 1e-9,
+        s"$ch: concentration 50 band [${t.lo},${t.hi}] not tighter than 1.0 band [${l.lo},${l.hi}]")
+    }
+  }
+
+  test("bootstrap skips singular replicates instead of failing the job") {
+    // a chain with a rarely-exited transient loop: replicates that zero
+    // the C->CONV/NULL outflow make (I - Q) singular
+    val fragile = Seq(
+      ("START", "C", 40L),
+      ("C", "C", 200L), ("C", "CONV", 1L), ("C", "NULL", 1L)
+    )
+    // must not throw, and bands must still be well-formed
+    val bands = Uncertainty.bootstrapMarkov(spark, fragile, b = 60)
+    assert(bands.nonEmpty)
+    bands.foreach(b => assert(b.lo <= b.hi && !b.mean.isNaN))
+  }
 }

@@ -117,6 +117,50 @@ class KMeansSpec extends AnyFunSuite {
     assert(math.abs(z.map(_(0)).sum) < 1e-12 && z(0)(1) == 0.0 && math.abs(z(1)(0) - 1.0) < 1e-12)
   }
 
+  test("incremental k-means drift ring: injected distance shift flips the drift flag") {
+    val cfg = IncrementalKMeans.Cfg(createDist = 100.0) // no new clusters — one ring
+    val rng = new java.util.Random(11)
+    // warm phase: small jittered distances fill the 10-wide window
+    val warm = (0 until 30).map { i =>
+      IncrementalKMeans.Point("a", f"w$i%03d", Array(0.1 + rng.nextGaussian() * 0.02, 0.0))
+    }
+    val (warmOut, st) = IncrementalKMeans.step(warm, None, cfg)
+    assert(warmOut.take(10).forall(_.drift_score == 0.0), "score must be 0 until the window fills")
+    assert(warmOut.drop(10).forall(!_.drifting), "steady stream must not flag drift")
+    // shifted phase: a far-but-absorbed point spikes the z-score
+    val far = IncrementalKMeans.Point("a", "z000", Array(5.0, 0.0))
+    val (out2, st2) = IncrementalKMeans.step(Seq(far), Some(st), cfg)
+    assert(out2.head.drift_score > cfg.driftThreshold, s"z=${out2.head.drift_score}")
+    assert(out2.head.drifting)
+    assert(st2.driftScores(0) == out2.head.drift_score, "state must carry the cluster drift score")
+    // batch ≡ stream parity retained with the ring in state
+    import spark.implicits._
+    val all = warm :+ far
+    val viaSpark = IncrementalKMeans.assign(all.toDS().repartition(3), cfg).collect()
+      .map(a => a.item_id -> (a.cluster, a.drifting)).toMap
+    val local = IncrementalKMeans.step(all, None, cfg)._1
+      .map(a => a.item_id -> (a.cluster, a.drifting)).toMap
+    assert(viaSpark == local)
+  }
+
+  test("silhouette guard: oversized group estimates on a stride sample, same model choice") {
+    // 6,000 points in two blobs — exact silhouette would be 36M distance
+    // pairs per k; the guard caps it at sample² = 4M total
+    val pts = (blob(0, 0, 3000, 21) ++ blob(10, 10, 3000, 22)).toArray
+    val t0 = System.nanoTime()
+    val f = KMeans.fit(pts, KMeans.Cfg())
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(f.k == 2, s"expected k=2, got ${f.k}")
+    assert(f.silhouette > 0.8)
+    assert(sec < 60, f"guarded fit took $sec%.1f s")
+    // the estimate tracks the exact value on a size where both run
+    val mid = (blob(0, 0, 400, 23) ++ blob(10, 10, 400, 24)).toArray
+    val (_, as) = KMeans.lloyd(mid, 2, 100, 42L)
+    val exact = KMeans.silhouette(mid, as, 2)
+    val est = KMeans.silhouetteCapped(mid, as, 2, 200)
+    assert(math.abs(exact - est) < 0.05, s"exact $exact vs sampled $est")
+  }
+
   test("Brier + ECE: hand-computed values and rollback gate") {
     import spark.implicits._
     // perfect predictions → brier 0; ece 0

@@ -28,12 +28,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(result.clusters.select("doc_id").distinct().count() == n)
   }
 
-  test("cluster ids are members of their own cluster (min-id stability)") {
-    val bad = result.clusters
+  test("cluster ids are members of their own cluster (canonical-id stability)") {
+    // canonical id = the doc_id of the min-nid member (dictIds path):
+    // must BE a member, and must be the same member on every rerun
+    // (determinism is covered by the resume byte-identity test below)
+    val members = result.clusters.select(col("doc_id").as("m"))
+    val bad = result.clusters.select(col("cluster_id").as("m")).distinct()
+      .join(members, Seq("m"), "left_anti")
+      .count()
+    assert(bad == 0, s"$bad cluster ids are not member doc ids")
+    // and with dictIds off, the canonical id is the lexicographic min
+    val dirS = Files.createTempDirectory("graft_pipe_strid").toString
+    val strRun = Pipeline.run(spark, docs, dirS, Pipeline.Cfg(dictIds = false))
+    val badS = strRun.clusters
       .groupBy("cluster_id").agg(min("doc_id").as("mn"))
       .where(col("cluster_id") =!= col("mn"))
       .count()
-    assert(bad == 0)
+    assert(badS == 0)
+    // same PARTITION either way: canonical labels differ but the
+    // grouping must be identical (hash ids are order-scrambled, so this
+    // is the real cross-path equivalence check)
+    val a = result.clusters.groupBy("cluster_id")
+      .agg(sort_array(collect_list("doc_id")).as("ms"))
+      .select("ms")
+    val b = strRun.clusters.groupBy("cluster_id")
+      .agg(sort_array(collect_list("doc_id")).as("ms"))
+      .select("ms")
+    assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
+      "dictIds=true and dictIds=false must produce identical partitions")
   }
 
   test("pairwise F1 >= 0.99 on labeled same-block pairs") {
@@ -89,6 +111,31 @@ class PipelineSpec extends AnyFunSuite {
       "finished chunk 1 must not be rewritten")
     assert(second.clusters.orderBy("doc_id").collect().toSeq == before,
       "resumed output must be byte-identical")
+  }
+
+  test("chunk-count change on resume discards incompatible chunk dirs (no duplicate pairs)") {
+    // read fresh from disk: `result.clusters` caches the file listing of
+    // the FIRST run's parts, rewritten by the previous resume test
+    val before = spark.read.parquet(s"$runDir/clusters").orderBy("doc_id").collect().toSeq
+    val nPairs = spark.read.parquet(s"$runDir/candidates").count()
+    val scoredDir = new java.io.File(s"$runDir/scored_pairs")
+    // simulate: killed run under scoreChunks=4, resumed under 2 — the
+    // leftover chunk=2/3 dirs partition pairs differently and would
+    // duplicate scored rows if globbed in
+    new java.io.File(scoredDir, "_SUCCESS").delete()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$runDir/clusters"))
+    assert(new java.io.File(scoredDir, "chunk=3").exists(), "expected 4-chunk layout")
+
+    val second = Pipeline.run(spark, docs, runDir, Pipeline.Cfg(scoreChunks = 2))
+    assert(!new java.io.File(scoredDir, "chunk=3").exists(), "stale chunk dirs must be discarded")
+    assert(second.scoredPairs.count() == nPairs,
+      "scored pairs must equal candidate pairs — stale chunks were double-counted")
+    assert(second.scoredPairs.select("doc_a", "doc_b").distinct().count() == nPairs)
+    assert(second.clusters.orderBy("doc_id").collect().toSeq == before)
+    // restore the 4-chunk layout for any later test
+    new java.io.File(scoredDir, "_SUCCESS").delete()
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(s"$runDir/clusters"))
+    Pipeline.run(spark, docs, runDir)
   }
 
   test("lineage covers every stage; metrics recorded") {

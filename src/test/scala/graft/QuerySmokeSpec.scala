@@ -22,10 +22,40 @@ class QuerySmokeSpec extends AnyFunSuite {
     assert(missing.isEmpty, s"oracle without query: $missing")
   }
 
+  private val counts = scala.collection.concurrent.TrieMap.empty[String, Long]
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name executes and writes at sf0.001") {
       fn(spark, sfDir).write.mode("overwrite").parquet(s"$outDir/$name")
-      assert(spark.read.parquet(s"$outDir/$name").count() >= 0)
+      val n = spark.read.parquet(s"$outDir/$name").count()
+      counts(name) = n
+      assert(n >= 0)
+    }
+  }
+
+  // Round-2 lesson (stale-parquet q19): a silently-shrunk result should
+  // fail HERE, before the driver's Verify sees it. Expected counts are
+  // committed; regenerate deliberately with SPARK_GRAFT_UPDATE_EXPECTED=1
+  // after an intentional semantics change.
+  test("row counts match committed expectations (sf0.001)") {
+    val path = java.nio.file.Paths.get("src/test/resources/expected_rows_sf0.001.txt")
+    val lines = counts.toSeq.sorted.map { case (k, v) => s"$k $v" }.mkString("", "\n", "\n")
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_EXPECTED") || !java.nio.file.Files.exists(path)) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, lines)
+      info(s"expectations (re)generated at $path — commit the file")
+    } else {
+      val expected = scala.io.Source.fromFile(path.toFile).getLines().filter(_.nonEmpty)
+        .map { l => val Array(k, v) = l.split(" "); k -> v.toLong }.toMap
+      val diffs = (expected.keySet ++ counts.keySet).toSeq.sorted.flatMap { k =>
+        (expected.get(k), counts.get(k)) match {
+          case (Some(e), Some(a)) if e != a => Some(s"$k: expected $e rows, got $a")
+          case (None, Some(a)) => Some(s"$k: NEW query ($a rows) — regenerate expectations")
+          case (Some(_), None) => Some(s"$k: query disappeared")
+          case _ => None
+        }
+      }
+      assert(diffs.isEmpty, diffs.mkString("\n"))
     }
   }
 }
