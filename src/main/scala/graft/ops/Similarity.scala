@@ -59,13 +59,21 @@ object Similarity {
     Array.tabulate(nPlanes)(p =>
       Array.tabulate(dim)(d => Rng.double(seed, 0x51a0L, p.toLong, d.toLong) * 2.0 - 1.0))
 
-  /** Sign-bit LSH bucket id for each vector. */
+  /** Sign-bit LSH bucket id for each vector.
+    *
+    * The plane is a constant-folded literal array and the dot product
+    * an index-ordered zip_with/aggregate fold: the earlier explicit
+    * 64-term sum chain inlined dim × planes × tables multiply-adds into
+    * one generated method — past janino's 64 KB cap, knocking the whole
+    * stage out of codegen. The fold keeps the generated method tiny and
+    * the summation order identical (left-to-right), so bucket ids are
+    * unchanged and deterministic. */
   def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
     val ps = planes(nPlanes, dim, seed)
+    val vd = transform(vec, _.cast("double"))
     val bits = ps.toIndexedSeq.zipWithIndex.map { case (plane, i) =>
-      val dot = (0 until dim)
-        .map(d => vec.getItem(d).cast("double") * lit(plane(d)))
-        .reduce(_ + _)
+      val pArr = array(plane.toIndexedSeq.map(lit): _*)
+      val dot = aggregate(zip_with(vd, pArr, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
