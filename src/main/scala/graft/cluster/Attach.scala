@@ -92,36 +92,16 @@ object Attach {
     val nMoves = moveEdges.count()
     val mapping: DataFrame =
       if (nMoves <= maxLocalMoves) {
-        val spark = clusters.sparkSession
-        // id-type generic (string doc ids, or the pipeline's
-        // dictionary-encoded longs — with 8-byte ids the 2M-move cap
-        // holds ~64 MB of driver map, vs ~hundreds of MB for strings)
-        val idType = moveEdges.schema("src").dataType
-        def lt(a: Any, b: Any): Boolean =
-          a.asInstanceOf[Comparable[Any]].compareTo(b) < 0
-        val parent = scala.collection.mutable.HashMap.empty[Any, Any]
-        def find(x: Any): Any = {
-          var r = x
-          while (parent.getOrElse(r, r) != r) r = parent(r)
-          var c = x
-          while (parent.getOrElse(c, c) != c) { val n = parent(c); parent(c) = r; c = n }
-          r
-        }
-        moveEdges.collect().foreach { row =>
-          val (a, b) = (find(row.get(0)), find(row.get(1)))
-          if (a != b) { if (lt(a, b)) parent(b) = a else parent(a) = b }
-        }
-        // union-by-min ⇒ every component's root IS its min member, so
-        // the mapping is node → find(node); roots keep their id via the
-        // left-join coalesce downstream
-        val rows = parent.keys.toSeq
-          .map(k => org.apache.spark.sql.Row(k, find(k)))
-        spark.createDataFrame(
-          spark.sparkContext.parallelize(rows.toList, 1),
-          org.apache.spark.sql.types.StructType(Seq(
-            org.apache.spark.sql.types.StructField("cluster_id", idType),
-            org.apache.spark.sql.types.StructField("merged_cluster", idType)
-          ))
+        // shared driver union-find (UnionFind): id-type generic; with
+        // 8-byte ids the 2M-move cap holds ~64 MB of driver map, vs
+        // ~hundreds of MB for strings. Union-by-min ⇒ every component's
+        // root IS its min member; roots keep their id via the left-join
+        // coalesce downstream.
+        UnionFind.labelFrame(
+          clusters.sparkSession,
+          UnionFind.minLabels(moveEdges.collect()),
+          moveEdges.schema("src").dataType,
+          "cluster_id", "merged_cluster"
         )
       } else {
         val vertices = moveEdges.select(col("src").as("doc_id"))

@@ -59,6 +59,16 @@ object ConnectedComponents {
     * single-column (doc_id) DataFrame supplying singleton membership.
     * Returns (doc_id, cluster_id) covering every node.
     *
+    * Adaptive execution: at or below `maxLocalEdges` deduplicated edges
+    * the component labels come from a driver union-find (one collect +
+    * one in-memory pass) — each large/small-star iteration otherwise
+    * costs ~4 latency-bound shuffle rounds that dominate wall time on
+    * small-to-medium graphs (measured: 15 s of an 84 s bench e2e for a
+    * 3.8 M-edge graph, ~4 s/iteration of pure round latency). Labels
+    * are identical (min member) on both paths; the default cap bounds
+    * the driver transient at ~1 GB (5 M edges, ≤10 M boxed nodes). The
+    * distributed loop remains the route for planet-scale graphs.
+    *
     * `persistIter` checkpoints each iteration's edge set — breaks the
     * growing lineage chain (a fixpoint loop otherwise builds an
     * exponentially replanned DAG) and is where an Iceberg table write
@@ -68,7 +78,8 @@ object ConnectedComponents {
       edges: DataFrame,
       nodes: DataFrame,
       maxIter: Int = 50,
-      persistIter: DataFrame => DataFrame = _.localCheckpoint(true)
+      persistIter: DataFrame => DataFrame = _.localCheckpoint(true),
+      maxLocalEdges: Long = 5000000L
   ): Result = {
     var cur = persistIter(
       edges
@@ -76,6 +87,21 @@ object ConnectedComponents {
         .where(col("src") =!= col("dst"))
         .distinct()
     )
+
+    if (cur.count() <= maxLocalEdges) {
+      val spark = edges.sparkSession
+      val mapping = UnionFind.labelFrame(
+        spark,
+        UnionFind.minLabels(cur.collect()),
+        edges.schema("src").dataType,
+        "doc_id", "mapped"
+      )
+      val assignments = nodes
+        .select(col("doc_id"))
+        .join(mapping, Seq("doc_id"), "left")
+        .select(col("doc_id"), coalesce(col("mapped"), col("doc_id")).as("cluster_id"))
+      return Result(assignments, 0)
+    }
 
     def checksum(df: DataFrame): (Long, Long) = {
       // bit_xor: order-insensitive and overflow-free under ANSI mode

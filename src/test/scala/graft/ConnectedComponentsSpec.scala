@@ -28,17 +28,27 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     label.toMap
   }
 
-  private def runCC(nodes: Seq[String], edges: Seq[(String, String)]): Map[String, String] = {
+  private def runCC(
+      nodes: Seq[String],
+      edges: Seq[(String, String)],
+      maxLocalEdges: Long
+  ): Map[String, String] = {
     val spark = SparkTestSession.spark
     import spark.implicits._
     val e = edges.toDF("src", "dst")
     val n = nodes.toDF("doc_id")
-    val r = ConnectedComponents.run(e, n, maxIter = 30)
+    val r = ConnectedComponents.run(e, n, maxIter = 30, maxLocalEdges = maxLocalEdges)
+    // the local path reports 0 iterations, the distributed loop >= 1
+    assert(if (maxLocalEdges == 0) r.iterations >= 1 else r.iterations == 0)
     r.assignments.collect().map(row => row.getString(0) -> row.getString(1)).toMap
   }
 
-  private def check(nodes: Seq[String], edges: Seq[(String, String)]): Unit =
-    assert(runCC(nodes, edges) == bfsOracle(nodes, edges))
+  /** Both execution paths must match the BFS oracle AND each other. */
+  private def check(nodes: Seq[String], edges: Seq[(String, String)]): Unit = {
+    val oracle = bfsOracle(nodes, edges)
+    assert(runCC(nodes, edges, maxLocalEdges = 0) == oracle, "distributed path")
+    assert(runCC(nodes, edges, maxLocalEdges = Long.MaxValue) == oracle, "local union-find path")
+  }
 
   test("chain") {
     val n = (0 to 9).map(i => f"n$i%02d")
@@ -75,7 +85,9 @@ class ConnectedComponentsSpec extends AnyFunSuite {
   test("cluster ids are component minimum (stable across reruns)") {
     val nodes = Seq("z9", "m5", "a1", "q7")
     val edges = Seq(("z9", "m5"), ("m5", "a1"))
-    val r = runCC(nodes, edges)
-    assert(r("z9") == "a1" && r("m5") == "a1" && r("a1") == "a1" && r("q7") == "q7")
+    for (cap <- Seq(0L, Long.MaxValue)) {
+      val r = runCC(nodes, edges, cap)
+      assert(r("z9") == "a1" && r("m5") == "a1" && r("a1") == "a1" && r("q7") == "q7")
+    }
   }
 }
