@@ -100,15 +100,22 @@ object OpsQueries {
       val shap = Shapley.exact(Shapley.game(coals))
       val hybrid = Shapley.hybrid(markov, shap, alpha = 0.5)
       val bands = Uncertainty.bootstrapMarkov(s, counts, b = 100).map(b => b.channel -> b).toMap
+      // third uncertainty mode: Dirichlet transition perturbation
+      // (uncertainty_quantification.py:137-501)
+      val diri = Uncertainty.dirichletMarkov(s, counts, b = 100).map(b => b.channel -> b).toMap
       markov.keys.toSeq.sorted.map { ch =>
         val b = bands.get(ch)
+        val d = diri.get(ch)
         (ch,
           math.round(markov(ch) * 1e6) / 1e6,
           math.round(shap.getOrElse(ch, 0.0) * 1e6) / 1e6,
           math.round(hybrid.getOrElse(ch, 0.0) * 1e6) / 1e6,
           math.round(b.map(_.lo).getOrElse(0.0) * 1e6) / 1e6,
-          math.round(b.map(_.hi).getOrElse(0.0) * 1e6) / 1e6)
-      }.toDF("channel", "markov_share", "shapley_share", "hybrid_share", "ci_lo", "ci_hi")
+          math.round(b.map(_.hi).getOrElse(0.0) * 1e6) / 1e6,
+          math.round(d.map(_.lo).getOrElse(0.0) * 1e6) / 1e6,
+          math.round(d.map(_.hi).getOrElse(0.0) * 1e6) / 1e6)
+      }.toDF("channel", "markov_share", "shapley_share", "hybrid_share", "ci_lo", "ci_hi",
+        "dirichlet_lo", "dirichlet_hi")
     }),
 
     // multimodal: synthesized payloads -> batched stub decode + features

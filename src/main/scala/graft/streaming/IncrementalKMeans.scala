@@ -24,16 +24,37 @@ object IncrementalKMeans {
 
   final case class Point(account_id: String, item_id: String, features: Array[Double])
 
-  /** Per-account state: centroids, member counts, and the per-cluster
+  /** Per-account state: centroids, member counts, the per-cluster
     * last-`driftWindow`-distances ring feeding the z-score drift signal
-    * (reference: incremental_clustering.py:70-71,113-127). Ring size is
-    * bounded by Cfg.driftWindow ⇒ state stays O(maxClusters × dim). */
+    * (reference: incremental_clustering.py:70-71,113-127), and running
+    * per-dimension sum / sum-of-squares for the online variance +
+    * confidence radius (`:104-111`, Welford-style via moment sums,
+    * variance floored at 1e-3 to prevent collapse). Ring and moment
+    * sizes are bounded ⇒ state stays O(maxClusters × dim). */
   final case class ClusterState(
       centroids: Array[Array[Double]],
       counts: Array[Long],
       recentDists: Array[Array[Double]] = Array.empty,
-      driftScores: Array[Double] = Array.empty
-  )
+      driftScores: Array[Double] = Array.empty,
+      sums: Array[Array[Double]] = Array.empty,
+      sumSqs: Array[Array[Double]] = Array.empty
+  ) {
+    /** Per-dim variance of cluster `i`: E[x²] − E[x]², floored. */
+    def variance(i: Int): Array[Double] =
+      if (i >= sums.length || counts(i) == 0) Array.empty
+      else {
+        val n = counts(i).toDouble
+        sums(i).indices.toArray.map { d =>
+          math.max(sumSqs(i)(d) / n - math.pow(sums(i)(d) / n, 2), 0.001)
+        }
+      }
+    /** Confidence radius = 2·mean std dev (incremental_clustering.py
+      * get_confidence_radius). */
+    def confidenceRadius(i: Int): Double = {
+      val v = variance(i)
+      if (v.isEmpty) 0.0 else 2.0 * v.map(math.sqrt).sum / v.length
+    }
+  }
 
   final case class Assignment(
       account_id: String,
@@ -62,9 +83,17 @@ object IncrementalKMeans {
     var counts = st0.map(_.counts.toVector).getOrElse(Vector.empty)
     var rings = st0.map(_.recentDists.map(_.toVector).toVector).getOrElse(Vector.empty)
     var drifts = st0.map(_.driftScores.toVector).getOrElse(Vector.empty)
-    // older checkpoints may predate the ring fields — pad to shape
+    var sums = st0.map(_.sums.map(_.clone()).toVector).getOrElse(Vector.empty)
+    var sumSqs = st0.map(_.sumSqs.map(_.clone()).toVector).getOrElse(Vector.empty)
+    // older checkpoints may predate the ring/moment fields — pad to shape
     while (rings.size < cs.size) rings = rings :+ Vector.empty[Double]
     while (drifts.size < cs.size) drifts = drifts :+ 0.0
+    while (sums.size < cs.size) sums = sums :+ cs(sums.size).clone()
+    while (sumSqs.size < cs.size) sumSqs = sumSqs :+ cs(sumSqs.size).map(x => x * x)
+    def addMoments(i: Int, x: Array[Double]): Unit = {
+      sums = sums.updated(i, sums(i).zip(x).map { case (a, b) => a + b })
+      sumSqs = sumSqs.updated(i, sumSqs(i).zip(x).map { case (a, b) => a + b * b })
+    }
 
     // z-score of the assignment distance against the cluster's last-w
     // window INCLUDING it (mirrors the reference: append, then score
@@ -83,6 +112,7 @@ object IncrementalKMeans {
       if (cs.isEmpty) {
         cs = Vector(p.features.clone()); counts = Vector(1L)
         rings = Vector(Vector.empty); drifts = Vector(0.0)
+        sums = Vector(p.features.clone()); sumSqs = Vector(p.features.map(x => x * x))
         Assignment(p.account_id, p.item_id, 0, 1.0, 1)
       } else {
         val dists = cs.map(c => math.sqrt(KMeans.sqDist(c, p.features)))
@@ -90,11 +120,13 @@ object IncrementalKMeans {
         if (dists(best) > cfg.createDist && cs.size < cfg.maxClusters) {
           cs = cs :+ p.features.clone(); counts = counts :+ 1L
           rings = rings :+ Vector.empty; drifts = drifts :+ 0.0
+          sums = sums :+ p.features.clone(); sumSqs = sumSqs :+ p.features.map(x => x * x)
           Assignment(p.account_id, p.item_id, cs.size - 1, 1.0, cs.size)
         } else {
           val conf = math.exp(-dists(best) / (cfg.radius + 0.1))
           cs = cs.updated(best, KMeans.onlineUpdate(cs(best), p.features, counts(best), cfg.baseAlpha))
           counts = counts.updated(best, counts(best) + 1)
+          addMoments(best, p.features)
           val (ring, z) = scored(rings(best), dists(best))
           rings = rings.updated(best, ring)
           drifts = drifts.updated(best, z)
@@ -102,7 +134,8 @@ object IncrementalKMeans {
         }
       }
     }
-    (out, ClusterState(cs.toArray, counts.toArray, rings.map(_.toArray).toArray, drifts.toArray))
+    (out, ClusterState(cs.toArray, counts.toArray, rings.map(_.toArray).toArray, drifts.toArray,
+      sums.map(_.clone()).toArray, sumSqs.map(_.clone()).toArray))
   }
 
   /** Streaming operator: works on a streaming OR batch Dataset[Point]. */

@@ -143,6 +143,22 @@ class KMeansSpec extends AnyFunSuite {
     assert(viaSpark == local)
   }
 
+  test("incremental k-means online variance: moment sums match population variance, floored") {
+    val cfg = IncrementalKMeans.Cfg(createDist = 100.0)
+    val xs = Seq(1.0, 3.0, 5.0, 7.0, 9.0)
+    val pts = xs.zipWithIndex.map { case (x, i) => IncrementalKMeans.Point("a", f"p$i%02d", Array(x, 2.0)) }
+    val (_, st) = IncrementalKMeans.step(pts, None, cfg)
+    val v = st.variance(0)
+    val mean = xs.sum / xs.size
+    val popVar = xs.map(x => (x - mean) * (x - mean)).sum / xs.size
+    assert(math.abs(v(0) - popVar) < 1e-9, s"dim0 var ${v(0)} vs $popVar")
+    // constant dimension floors at 1e-3 (reference's collapse guard)
+    assert(v(1) == 0.001)
+    // confidence radius = 2 * mean per-dim std
+    val expected = 2.0 * (math.sqrt(popVar) + math.sqrt(0.001)) / 2
+    assert(math.abs(st.confidenceRadius(0) - expected) < 1e-9)
+  }
+
   test("silhouette guard: oversized group estimates on a stride sample, same model choice") {
     // 6,000 points in two blobs — exact silhouette would be 36M distance
     // pairs per k; the guard caps it at sample² = 4M total
