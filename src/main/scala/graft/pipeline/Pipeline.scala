@@ -34,8 +34,11 @@ object Pipeline {
       // stage-S resume granularity: candidates split by pmod(salt, n);
       // a run killed mid-scoring redoes only unfinished chunks, not the
       // whole stage (the reference's analog removes cached results from
-      // the work set, src/api/optimized_api_server.py:673-700)
-      scoreChunks: Int = 4,
+      // the work set, src/api/optimized_api_server.py:673-700).
+      // 8 concurrent chunk jobs backfill each other's shuffle/commit
+      // barriers (A/B at 32c: e2e 84-88 s vs 88-95 s with 4) and halve
+      // the work lost to a mid-scoring kill.
+      scoreChunks: Int = 8,
       // dictionary-encode doc ids to longs (nid = xxhash64(doc_id))
       // through B/S/C: variable-width string ids otherwise ride every
       // exploded span-pair row, every scored pair, and every CC

@@ -22,7 +22,10 @@ object PipeAB {
       val dir = s"/tmp/graft_pipe_ab_$i"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
       val t0 = System.nanoTime()
-      val cfg = Pipeline.Cfg(dictIds = sys.env.get("SPARK_GRAFT_DICT_IDS").forall(_ != "0"))
+      val cfg = Pipeline.Cfg(
+        dictIds = sys.env.get("SPARK_GRAFT_DICT_IDS").forall(_ != "0"),
+        scoreChunks = sys.env.get("SPARK_GRAFT_CHUNKS").map(_.toInt).getOrElse(4)
+      )
       Pipeline.run(spark, docs, dir, cfg)
       val wall = (System.nanoTime() - t0) / 1e9
       val m = spark.read.parquet(s"$dir/metrics").collect()

@@ -53,4 +53,33 @@ class SessionizeSpec extends AnyFunSuite {
       assert(s(0).getAs[String]("session_id").length == 16)
     } finally q.stop()
   }
+
+  test("stateful operators run on the RocksDB state store (the production spill-to-disk provider)") {
+    // at 10^9 accounts the per-group state lives off-heap/on-disk in
+    // RocksDB, not the default in-memory HDFS-backed store — prove the
+    // operator works unchanged on that provider (rocksdbjni ships with
+    // Spark; the provider is read from the session conf at query start)
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[Event]
+    val q = Sessionize.incremental(mem.toDS())
+      .writeStream.format("memory").queryName("sessions_rocks").outputMode("append")
+      .option("checkpointLocation",
+        java.nio.file.Files.createTempDirectory("graft_rocks_ckpt").toString)
+      .start()
+    try {
+      mem.addData(events.take(3): _*)
+      q.processAllAvailable()
+      mem.addData(events.drop(3): _*)
+      q.processAllAvailable()
+      val closed = spark.table("sessions_rocks")
+        .filter(col("account_id") === "a1" && col("device") === "d1").collect()
+      assert(closed.length == 1 && closed(0).getAs[Long]("n_events") == 3)
+    } finally {
+      q.stop()
+      spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
 }
