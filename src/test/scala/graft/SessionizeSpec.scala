@@ -54,6 +54,26 @@ class SessionizeSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming session_window + watermark emits a session once event time passes the gap") {
+    import spark.implicits._
+    implicit val sql = spark.sqlContext
+    val mem = MemoryStream[Event]
+    val q = Sessionize.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sw_out").outputMode("append").start()
+    try {
+      mem.addData(events.take(3): _*) // open session, watermark at ts(20) - 30min
+      q.processAllAvailable()
+      assert(spark.table("sw_out").isEmpty, "session must stay open before the watermark passes")
+      // event an hour later moves the watermark past the first session's close
+      mem.addData(Event("a9", "d9", ts(120), 1.0))
+      q.processAllAvailable()
+      val closed = spark.table("sw_out")
+        .filter(col("account_id") === "a1" && col("device") === "d1").collect()
+      assert(closed.length == 1 && closed(0).getAs[Long]("n_events") == 3
+        && closed(0).getAs[Double]("total_duration") == 20.0)
+    } finally q.stop()
+  }
+
   test("stateful operators run on the RocksDB state store (the production spill-to-disk provider)") {
     // at 10^9 accounts the per-group state lives off-heap/on-disk in
     // RocksDB, not the default in-memory HDFS-backed store — prove the
