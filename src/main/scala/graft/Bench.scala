@@ -117,10 +117,14 @@ object Bench {
       .collect().map(r => (r.getString(0), r.getString(2)) -> r.getDouble(3)).toMap
     val nPairs = metrics.getOrElse(("scored_pairs", "scored_pairs"), 0.0)
     results("pir_blocking") = metrics.getOrElse(("candidates", "wall_ms"), 0.0) / 1000
-    // scoring = rep checkpoints (S0) + chunked pair scoring (S)
+    // scoring = rep checkpoints (S0) + dict stages (S1) + chunked pair
+    // scoring (S) — every stage the scorePath needs is charged to it
     results("pir_scoring") = (metrics.getOrElse(("scored_pairs", "wall_ms"), 0.0) +
       metrics.getOrElse(("text_rep", "wall_ms"), 0.0) +
-      metrics.getOrElse(("media_rep", "wall_ms"), 0.0)) / 1000
+      metrics.getOrElse(("media_rep", "wall_ms"), 0.0) +
+      metrics.getOrElse(("text_dict", "wall_ms"), 0.0) +
+      metrics.getOrElse(("text_ids", "wall_ms"), 0.0) +
+      metrics.getOrElse(("text_pair_scores", "wall_ms"), 0.0)) / 1000
     results("pir_clustering") = metrics.getOrElse(("clusters", "wall_ms"), 0.0) / 1000
     results("pir_pairs_per_sec") = if (results("pir_scoring") > 0) nPairs / results("pir_scoring") else 0.0
     results("pir_docs_per_sec") = if (e2e > 0) nDocs / e2e else 0.0

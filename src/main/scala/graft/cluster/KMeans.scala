@@ -212,4 +212,73 @@ object KMeans {
         }
       }
   }
+
+  /** Fully-deterministic DISTRIBUTED Lloyd with fixed k, fixed
+    * iteration count, and lowest-item_id init — the cross-engine oracle
+    * twin of [[clusterGroups]] (which stays silhouette-selected and
+    * k-means++-seeded for production). Every floating-point reduction
+    * is an ORDER-FIXED fold (item_id order for member sums, pos order
+    * for dimension rebuild, index order for distances), so a DuckDB
+    * oracle recomputing the same folds left-to-right reproduces the
+    * assignments bit-exactly — the q32 md5-twin pattern applied to the
+    * per-group model fits (reference semantics:
+    * household_inference.py:371-454).
+    *
+    * Input cols: (group_id, item_id:long-orderable, features:
+    * array<double>). Output: (group_id, item_id, cluster:long, dist6) —
+    * the final argmin assignment and its squared distance rounded to 6
+    * digits. Runs `iters` assignment rounds with `iters − 1` centroid
+    * updates between them; empty clusters drop out of the centroid
+    * table (both engines agree: no members → no row). */
+  def lloydDeterministic(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+    require(iters >= 1)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id").orderBy("item_id")
+    var cents = pts
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("group_id"), (col("rn") - 1).cast("long").as("cluster"), col("features").as("cent"))
+
+    def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
+
+    def assign(c: DataFrame): DataFrame =
+      pts.join(c, "group_id")
+        .withColumn("dist", sqd(col("features"), col("cent")))
+        .groupBy("group_id", "item_id")
+        .agg(min(struct(col("dist"), col("cluster"))).as("best"))
+        .select(
+          col("group_id"), col("item_id"),
+          col("best.cluster").as("cluster"), col("best.dist").as("dist")
+        )
+
+    var assigned = assign(cents)
+    for (_ <- 2 to iters) {
+      val ex = pts
+        .join(assigned.select("group_id", "item_id", "cluster"), Seq("group_id", "item_id"))
+        .select(
+          col("group_id"), col("cluster"), col("item_id"),
+          posexplode(col("features")).as(Seq("pos", "x"))
+        )
+      cents = ex
+        .groupBy("group_id", "cluster", "pos")
+        .agg(
+          (aggregate(
+            sort_array(collect_list(struct(col("item_id"), col("x")))),
+            lit(0.0),
+            (acc, s) => acc + s.getField("x")
+          ) / count(lit(1))).as("m")
+        )
+        .groupBy("group_id", "cluster")
+        .agg(
+          transform(sort_array(collect_list(struct(col("pos"), col("m")))), s => s.getField("m"))
+            .as("cent")
+        )
+      assigned = assign(cents)
+    }
+    assigned.select(
+      col("group_id"), col("item_id"), col("cluster"),
+      round(col("dist"), 6).as("dist6")
+    )
+  }
 }

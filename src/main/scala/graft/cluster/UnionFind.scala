@@ -37,7 +37,14 @@ private[cluster] object UnionFind {
   }
 
   /** The label pairs as a 2-column DataFrame with the given column
-    * names, typed like `idType`. */
+    * names, typed like `idType`.
+    *
+    * The labels ship to executors as ONE broadcast variable consumed by
+    * `mapPartitions` over a row-range RDD — `parallelize(rows)` would
+    * serialize the slice of label pairs into every task closure
+    * (measured: "task of very large size (8350 KiB)" warnings at the
+    * 5M-edge adaptive cap). The broadcast is sent once per executor,
+    * tasks carry only (start, end) offsets. */
   def labelFrame(
       spark: org.apache.spark.sql.SparkSession,
       labels: Seq[(Any, Any)],
@@ -45,9 +52,23 @@ private[cluster] object UnionFind {
       keyCol: String,
       valCol: String
   ): org.apache.spark.sql.DataFrame = {
-    val rows = labels.map { case (k, v) => org.apache.spark.sql.Row(k, v) }
+    val arr = labels.toArray
+    val bc = spark.sparkContext.broadcast(arr)
+    val parts = math.max(1, math.min(arr.length / 50000, spark.sparkContext.defaultParallelism))
+    val rdd = spark.sparkContext
+      .parallelize(0 until parts, parts)
+      .mapPartitions { it =>
+        val a = bc.value
+        it.flatMap { p =>
+          val start = (p.toLong * a.length / parts).toInt
+          val end = ((p + 1).toLong * a.length / parts).toInt
+          (start until end).iterator.map { i =>
+            val kv = a(i); org.apache.spark.sql.Row(kv._1, kv._2)
+          }
+        }
+      }
     spark.createDataFrame(
-      spark.sparkContext.parallelize(rows.toList, math.max(1, labels.size / 500000)),
+      rdd,
       org.apache.spark.sql.types.StructType(Seq(
         org.apache.spark.sql.types.StructField(keyCol, idType),
         org.apache.spark.sql.types.StructField(valCol, idType)

@@ -68,8 +68,12 @@ object Similarity {
     * stage out of codegen. The fold keeps the generated method tiny and
     * the summation order identical (left-to-right), so bucket ids are
     * unchanged and deterministic. */
-  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column = {
-    val ps = planes(nPlanes, dim, seed)
+  def lshBucket(vec: Column, nPlanes: Int, dim: Int, seed: Long = 42L): Column =
+    lshBucketPlanes(vec, planes(nPlanes, dim, seed))
+
+  /** Bucket id from explicit plane weights (shared by the xxhash64-Rng
+    * production path and the md5-derived oracle path). */
+  def lshBucketPlanes(vec: Column, ps: Array[Array[Double]]): Column = {
     val vd = transform(vec, _.cast("double"))
     val bits = ps.toIndexedSeq.zipWithIndex.map { case (plane, i) =>
       val pArr = array(plane.toIndexedSeq.map(lit): _*)
@@ -77,6 +81,49 @@ object Similarity {
       when(dot >= 0, shiftleft(lit(1L), i)).otherwise(lit(0L))
     }
     bits.reduce((x, y) => x.bitwiseOR(y))
+  }
+
+  /** md5-derived hyperplanes, bit-identical to the SQL derivation
+    * `cast('0x'||substr(md5('pl:<t>:<i>:<j>'),1,15) as bigint)` mapped
+    * to [-1, 1) — h/2⁶⁰ is a power-of-two division, so the double is
+    * exact and a DuckDB oracle recomputes the identical weights (the
+    * q28/q32 md5-twin pattern applied to plane GENERATION, closing the
+    * op_ann_lsh oracle-visibility gap). */
+  def md5Planes(table: Int, nPlanes: Int, dim: Int): Array[Array[Double]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    Array.tabulate(nPlanes) { i =>
+      Array.tabulate(dim) { j =>
+        val hex = md.digest(s"pl:$table:$i:$j".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString.substring(0, 15)
+        java.lang.Long.parseLong(hex, 16) / 1152921504606846976.0 * 2.0 - 1.0
+      }
+    }
+  }
+
+  /** [[lshCosinePairs]] with md5-derived planes — the cross-engine
+    * oracle twin of the production LSH path; identical plan shape
+    * (bucket equi-join, no cross join), only the plane source differs. */
+  def lshCosinePairsMd5(
+      vecs: DataFrame,
+      threshold: Double,
+      nPlanes: Int = 8,
+      dim: Int = 64,
+      tables: Int = 2
+  ): DataFrame = {
+    val withBuckets = vecs.select(
+      col("id"),
+      asDouble(col("vec")).as("v"),
+      posexplode(array((0 until tables).map(t => lshBucketPlanes(col("vec"), md5Planes(t, nPlanes, dim))): _*))
+        .as(Seq("table", "bucket"))
+    )
+    val a = withBuckets.select(col("table"), col("bucket"), col("id").as("id_a"), col("v").as("v_a"))
+    val b = withBuckets.select(col("table"), col("bucket"), col("id").as("id_b"), col("v").as("v_b"))
+    a.join(b, Seq("table", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", cosine(col("v_a"), col("v_b")))
+      .where(col("cos") >= threshold)
+      .select("id_a", "id_b", "cos")
   }
 
   /** LSH-bucketed near-neighbor pairs: only same-bucket pairs are

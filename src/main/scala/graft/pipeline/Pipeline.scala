@@ -46,9 +46,31 @@ object Pipeline {
       // compare in one instruction and shrink the dominant streams.
       // Ids map back to strings at the clusters output (and lazily on
       // the Result accessors); a distinct-count guard fails loudly on
-      // the ~n²/2⁶⁴ hash-collision case (at 10¹² docs switch to a
-      // precomputed dense-id dictionary instead).
-      dictIds: Boolean = true
+      // the ~n²/2⁶⁴ hash-collision case (at 10¹² docs switch to
+      // dictMode = "dense" instead).
+      dictIds: Boolean = true,
+      // "hash": nid = xxhash64(doc_id) — zero-shuffle encode, collision
+      // guard fails loudly at ~n²/2⁶⁴ odds. "dense": a stage-B0
+      // checkpointed dictionary of stable dense ids (range-sort +
+      // zipWithIndex) — one extra shuffle of the id column at encode
+      // time, but collision-FREE by construction: the 10¹²-doc mode,
+      // where birthday odds on 64-bit hashes (~2.7%) stop being
+      // ignorable.
+      dictMode: String = "hash",
+      // stage-S kernel path:
+      //  - "dict" (default): dense text dictionary broadcast once; the
+      //    exploded span-pair stream is fixed-width ints and the
+      //    JW/Levenshtein kernels read cache-hot dictionary entries.
+      //    Requires the distinct-span-text dictionary to fit in
+      //    executor memory (bench: 1.65M texts ≈ 150 MB).
+      //  - "direct": inline string kernels over a text-carrying stream
+      //    (no memory bound; the pre-round-4 path).
+      //  - "pair": factorized distinct-text-pair score table (measured
+      //    2× slower than direct on the bench fixture — its distinct
+      //    pass buys nothing when spans rarely repeat verbatim; kept
+      //    for corpora with heavy exact-span repetition).
+      // All three are value-identical (ScoringDedupSpec).
+      scorePath: String = "dict"
   )
 
   final case class Result(
@@ -66,17 +88,25 @@ object Pipeline {
     val runId = "run"
     new java.io.File(runDir).mkdirs()
 
-    // internal long ids (see Cfg.dictIds); the checkpointed clusters
-    // table and the Result accessors expose original string ids
-    val docs = if (cfg.dictIds) docs0.withColumn("doc_id", xxhash64(col("doc_id"))) else docs0
-    lazy val idMap = docs0.select(col("doc_id").as("orig_id"), xxhash64(col("doc_id")).as("nid"))
-    def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
-      if (!cfg.dictIds) df
-      else idCols.foldLeft(df) { (d, c) =>
-        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
-          .drop(c)
-          .withColumnRenamed(s"${c}__s", c)
-      }
+    // id-encoding marker: checkpoints written under a different id
+    // encoding are incompatible (long nids vs string ids, or hash vs
+    // dense longs) — resuming across the mismatch would silently join
+    // nothing. Fail loudly like _chunks. ("true" = legacy hash marker.)
+    val idMode = if (!cfg.dictIds) "off" else cfg.dictMode
+    require(Set("off", "hash", "dense").contains(idMode), s"unknown dictMode '${cfg.dictMode}'")
+    locally {
+      val marker = java.nio.file.Paths.get(s"$runDir/_dictids")
+      if (java.nio.file.Files.exists(marker)) {
+        val prior = java.nio.file.Files.readString(marker).trim match {
+          case "true" => "hash"
+          case "false" => "off"
+          case m => m
+        }
+        require(prior == idMode,
+          s"run dir $runDir was written with id mode '$prior' but this run uses '$idMode'; " +
+            "use a fresh run dir or match the setting")
+      } else java.nio.file.Files.writeString(marker, idMode)
+    }
 
     def stage(name: String, metrics: DataFrame => Seq[(String, Double)] = _ => Nil)(
         compute: => DataFrame
@@ -93,6 +123,44 @@ object Pipeline {
       spark.read.parquet(path)
     }
 
+    // internal long ids (see Cfg.dictIds/dictMode); the checkpointed
+    // clusters table and the Result accessors expose original string
+    // ids. idMap is distinct-ed: duplicate doc_id input rows would
+    // otherwise multiply every mapBack inner join.
+    // Stage B0 (dense mode only) — stable dense ids: distinct ids
+    // range-sorted then zipWithIndex (two narrow jobs, one shuffle of
+    // the id column; no global single-partition sort). Checkpointed
+    // first so every later stage and resume reads the SAME dictionary.
+    lazy val denseDict = stage("id_dict") {
+      import spark.implicits._
+      docs0.select("doc_id").distinct()
+        .repartitionByRange(col("doc_id"))
+        .sortWithinPartitions("doc_id")
+        .rdd.zipWithIndex
+        .map { case (r, i) => (r.getString(0), i) }
+        .toDF("orig_id", "nid")
+    }
+    lazy val idMap = idMode match {
+      case "dense" => denseDict
+      case _ => docs0.select(col("doc_id").as("orig_id"), xxhash64(col("doc_id")).as("nid")).distinct()
+    }
+    val docs = idMode match {
+      case "off" => docs0
+      case "hash" => docs0.withColumn("doc_id", xxhash64(col("doc_id")))
+      case "dense" =>
+        docs0
+          .join(denseDict.withColumnRenamed("orig_id", "doc_id"), "doc_id")
+          .drop("doc_id")
+          .withColumnRenamed("nid", "doc_id")
+    }
+    def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
+      if (idMode == "off") df
+      else idCols.foldLeft(df) { (d, c) =>
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
+          .drop(c)
+          .withColumnRenamed(s"${c}__s", c)
+      }
+
     // Stage B — key table materialized once (lazily, only when the
     // candidates checkpoint is absent), shared by the pair join and the
     // drop-accounting metrics.
@@ -101,10 +169,11 @@ object Pipeline {
     val candidates = stage(
       "candidates",
       out => {
-        if (cfg.dictIds) {
+        if (idMode == "hash") {
           // loud collision guard: one pruned single-column pass per
-          // fresh run; at 10¹² ids replace the hash with a dense-id
-          // dictionary (collisions become certain at that scale)
+          // fresh run; at 10¹² ids use dictMode = "dense" (collisions
+          // become certain at that scale). Dense ids need no guard —
+          // unique by construction.
           val ids = docs0.agg(
             countDistinct(col("doc_id")).as("n"),
             countDistinct(xxhash64(col("doc_id"))).as("nh")
@@ -129,6 +198,24 @@ object Pipeline {
     graft.util.PhaseTracker.set("scoring")
     val textRep = stage("text_rep")(Scoring.textRep(docs))
     val mediaRep = stage("media_rep")(Scoring.mediaRep(docs))
+
+    // Stage S1 (scorePath-dependent):
+    //  - dict: dense span-text dictionary + id-encoded rep, checkpointed
+    //    once; the dictionary is broadcast once and every chunk's kernel
+    //    reads it (see Scoring.scoreWithRepsDict).
+    //  - pair: distinct-text-pair score table, left-joined per chunk.
+    require(Set("dict", "direct", "pair").contains(cfg.scorePath),
+      s"unknown scorePath '${cfg.scorePath}'")
+    val dictSide =
+      if (cfg.scorePath == "dict") {
+        val dict = stage("text_dict")(Scoring.textDictDense(textRep))
+        val txtIds = stage("text_ids")(Scoring.textIdsRep(textRep, dict))
+        Some((txtIds, Scoring.broadcastDict(dict)))
+      } else None
+    val pairScores =
+      if (cfg.scorePath == "pair")
+        Some(stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
+      else None
 
     // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
     // each chunk commits independently (its own parquet _SUCCESS), the
@@ -170,8 +257,15 @@ object Pipeline {
           val cpath = s"$scoredPath/chunk=$i"
           if (!done(cpath)) {
             val chunk = candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
-            Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights)
-              .write.mode("overwrite").parquet(cpath)
+            (cfg.scorePath match {
+              case "dict" =>
+                val (txtIds, bc) = dictSide.get
+                Scoring.scoreWithRepsDict(chunk, txtIds, mediaRep, cfg.weights, bc)
+              case "pair" =>
+                Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights, pairScores)
+              case _ =>
+                Scoring.scoreWithRepsDirect(chunk, textRep, mediaRep, cfg.weights)
+            }).write.mode("overwrite").parquet(cpath)
           }
         }
       }

@@ -75,12 +75,17 @@ object Analytics3 {
       // drop = mean(conf | baseline) − mean(conf | current) with
       // conf = value / global max — positive drop = degradation
       val confRows = gs.filter(_.getAs[Number]("gid").longValue == 3)
-      val avgOf = confRows.map { r =>
-        r.getAs[Boolean]("cur_half") ->
-          r.getAs[java.math.BigDecimal]("sv").doubleValue / r.getAs[Long]("nv")
+      // degenerate inputs (all events in one half, or all-null values)
+      // emit drift 0.0 rather than throwing on Map.apply / null unboxing
+      val avgOf = confRows.collect {
+        case r if r.getAs[java.math.BigDecimal]("sv") != null && r.getAs[Long]("nv") > 0 =>
+          r.getAs[Boolean]("cur_half") ->
+            r.getAs[java.math.BigDecimal]("sv").doubleValue / r.getAs[Long]("nv")
       }.toMap
-      val vmax = confRows.map(_.getAs[Double]("mv")).max
-      val confDrop = (avgOf(false) - avgOf(true)) / vmax
+      val vmaxs = confRows.flatMap(r => Option(r.getAs[java.lang.Double]("mv")).map(_.doubleValue))
+      val confDrop =
+        if (avgOf.size < 2 || vmaxs.isEmpty || vmaxs.max == 0.0) 0.0
+        else (avgOf(false) - avgOf(true)) / vmaxs.max
       val checks = Seq(
         "composition_chi2" -> ts.map { case (bs, cs) => (cs - bs) * (cs - bs) / math.max(bs, 1e-12) }.sum,
         "confidence_drift" -> confDrop,

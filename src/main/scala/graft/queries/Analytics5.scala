@@ -23,6 +23,14 @@ import graft.text.TextOps
   */
 object Analytics5 {
 
+  /** Single config shared by the q32 query AND its oracle — the two sides
+    * must band/verify with the same k/bands/threshold or the cross-engine
+    * set equality silently depends on the corpus having no borderline
+    * pairs. Uncapped buckets: the oracle reimplements the banding exactly
+    * and a capped side would drop pairs on homogeneous corpora. */
+  private[queries] val q32Cfg =
+    Dedup.MinHashCfg(jaccardThreshold = 0.35, maxBucket = Int.MaxValue)
+
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
@@ -46,7 +54,9 @@ object Analytics5 {
         sum(when(col("bucket") === 0, col("conv")).otherwise(0)).as("c0"),
         sum(when(col("bucket") === 1, 1).otherwise(0)).as("n1"),
         sum(when(col("bucket") === 1, col("conv")).otherwise(0)).as("c1")
-      )
+      // a day whose users all hash to one bucket has no comparison; under
+      // ANSI mode the division would throw, so drop it (oracle mirrors)
+      ).where(col("n0") > 0 && col("n1") > 0)
       val p0 = col("c0").cast("double") / col("n0")
       val p1 = col("c1").cast("double") / col("n1")
       val se = sqrt(p0 * (lit(1.0) - p0) / col("n0") + p1 * (lit(1.0) - p1) / col("n1"))
@@ -65,10 +75,8 @@ object Analytics5 {
     //      capped side would silently drop pairs on homogeneous
     //      corpora (production path keeps the default cap) ----
     "q32_minhash_md5" -> ((s, dir) =>
-      Dedup.nearDupPairsMd5(
-        docsStr(s, dir),
-        Dedup.MinHashCfg(jaccardThreshold = 0.35, maxBucket = Int.MaxValue)
-      ).select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
+      Dedup.nearDupPairsMd5(docsStr(s, dir), q32Cfg)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 6).as("jaccard"))),
 
     // ---- md5 winnowing-fingerprint overlap pairs (cross-engine twin
     //      of op_fingerprint_overlap) ----
@@ -81,7 +89,33 @@ object Analytics5 {
       a.join(b, "fp").where(col("id_a") < col("id_b"))
         .groupBy("id_a", "id_b").agg(count(lit(1)).as("shared_fp"))
         .where(col("shared_fp") >= 2)
-    })
+    }),
+
+    // ---- md5-plane random-hyperplane LSH ANN (cross-engine twin of
+    //      op_ann_lsh: identical plan shape — sign-bit buckets, bucket
+    //      equi-join, no cross join — with planes derived from md5 so
+    //      DuckDB recomputes buckets + cosine bit-exactly; h/2⁶⁰ is a
+    //      power-of-two division and both engines fold dot products
+    //      left-to-right) ----
+    "q34_ann_lsh_md5" -> ((s, dir) =>
+      graft.ops.Similarity.lshCosinePairsMd5(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.2, nPlanes = 8, dim = 64, tables = 2
+      ).select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))),
+
+    // ---- deterministic distributed Lloyd (cross-engine twin of the
+    //      op_kmeans_* machinery: fixed k/iters, lowest-id init,
+    //      order-fixed fp folds — DuckDB reproduces the assignments
+    //      exactly; see KMeans.lloydDeterministic) ----
+    "q35_kmeans_det" -> ((s, dir) =>
+      graft.cluster.KMeans.lloydDeterministic(
+        t(s, dir, "embeddings").select(
+          col("label").as("group_id"),
+          col("vec_id").as("item_id"),
+          transform(col("embedding"), _.cast("double")).as("features")
+        ),
+        k = 3, iters = 3
+      ))
   )
 
   // ---- oracle SQL ----
@@ -113,7 +147,7 @@ object Analytics5 {
   /** q32 oracle: the identical md5-shingle MinHash/band/verify pipeline
     * in DuckDB — same affine constants, same arithmetic band keys. */
   private def minhashOracle: String = {
-    val cfg = Dedup.MinHashCfg() // shingleN=5, k=32, bands=16, rows=2
+    val cfg = q32Cfg // same shingleN/k/bands/threshold as the q32 query
     val ab = TextOps.affineConsts(cfg.k, cfg.seed)
     val mins = ab
       .map { case (a, b) => s"list_min(list_transform(hs, h -> ((h % $P) * $a + $b) % $P))" }
@@ -158,6 +192,49 @@ object Analytics5 {
      GROUP BY 1, 2
      HAVING count(*) >= 2"""
 
+  /** q35 oracle: the identical deterministic Lloyd unrolled as chained
+    * CTEs — c0 init (k lowest-item_id points), a_i assignment under
+    * c_{i-1} (argmin with cluster tiebreak), c_i member-mean update
+    * with the SAME order-fixed folds (item_id order per dimension, pos
+    * order for the rebuilt centroid array, index order for distances). */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
+    def assignCte(i: Int): String =
+      s"""a$i AS (
+         SELECT group_id, item_id, cluster, d FROM (
+           SELECT p.group_id, p.item_id, c.cluster,
+             list_reduce(list_transform(list_zip(p.v, c.cent), z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) AS d,
+             row_number() OVER (PARTITION BY p.group_id, p.item_id ORDER BY
+               list_reduce(list_transform(list_zip(p.v, c.cent), z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b),
+               c.cluster) AS rk
+           FROM pts p JOIN c${i - 1} c USING (group_id))
+         WHERE rk = 1)"""
+    def updateCte(i: Int): String =
+      s"""c$i AS (
+         SELECT group_id, cluster, list(m ORDER BY pos) AS cent FROM (
+           SELECT e.group_id, e.cluster, e.pos,
+             list_reduce(list(e.x ORDER BY e.item_id), (a, b) -> a + b) / count(*) AS m
+           FROM (
+             SELECT p.group_id, a.cluster, p.item_id, g.pos,
+               p.v[CAST(g.pos + 1 AS INTEGER)] AS x
+             FROM pts p
+             JOIN a$i a USING (group_id, item_id),
+             (SELECT unnest(range($dim)) AS pos) g) e
+           GROUP BY 1, 2, 3)
+         GROUP BY 1, 2)"""
+    val ctes = (1 until iters).flatMap(i => Seq(assignCte(i), updateCte(i))) :+ assignCte(iters)
+    s"""WITH pts AS (
+       SELECT label AS group_id, vec_id AS item_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+     c0 AS (
+       SELECT group_id, CAST(rn - 1 AS BIGINT) AS cluster, v AS cent FROM (
+         SELECT group_id, v, row_number() OVER (PARTITION BY group_id ORDER BY item_id) AS rn
+         FROM pts)
+       WHERE rn <= $k),
+     ${ctes.mkString(",\n     ")}
+     SELECT group_id, item_id, cluster, round(d, 6) AS dist6 FROM a$iters"""
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q31_feedback_significance" ->
       """WITH e AS (
@@ -181,13 +258,40 @@ object Analytics5 {
            CAST(c0 AS DOUBLE)/n0 AS rp0, CAST(c1 AS DOUBLE)/n1 AS rp1,
            sqrt((CAST(c0 AS DOUBLE)/n0) * (1.0 - CAST(c0 AS DOUBLE)/n0) / n0
               + (CAST(c1 AS DOUBLE)/n1) * (1.0 - CAST(c1 AS DOUBLE)/n1) / n1) AS se
-         FROM d)
+         FROM d WHERE n0 > 0 AND n1 > 0)
        SELECT day, n0, c0, n1, c1,
          round(rp0, 6) AS p0, round(rp1, 6) AS p1,
          CASE WHEN se > 0 THEN round((rp1 - rp0) / se, 6) ELSE 0.0 END AS z_stat,
          CASE WHEN se > 0 THEN abs((rp1 - rp0) / se) >= 1.96 ELSE false END AS significant
        FROM z""",
     "q32_minhash_md5" -> minhashOracle,
-    "q33_fingerprint_md5" -> fingerprintOracle
+    "q33_fingerprint_md5" -> fingerprintOracle,
+    "q34_ann_lsh_md5" ->
+      """WITH pl AS (
+           SELECT t, i, list(w ORDER BY j) AS plane
+           FROM (
+             SELECT t, i, j,
+               CAST(CAST(('0x' || substr(md5('pl:' || t || ':' || i || ':' || j), 1, 15)) AS BIGINT) AS DOUBLE)
+                 / 1152921504606846976.0 * 2.0 - 1.0 AS w
+             FROM (SELECT unnest(range(2)) t), (SELECT unnest(range(8)) i), (SELECT unnest(range(64)) j))
+           GROUP BY t, i),
+         v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         buckets AS (
+           SELECT v.id, pl.t,
+             CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(v.v, pl.plane), z -> z[1] * z[2]), (a,b) -> a + b) >= 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v, pl GROUP BY v.id, pl.t),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         sc AS (
+           SELECT c.id_a, c.id_b,
+             list_reduce(list_transform(list_zip(va.v, vb.v), z -> z[1] * z[2]), (a,b) -> a + b) /
+               (sqrt(list_reduce(list_transform(va.v, x -> x * x), (a,b) -> a + b)) *
+                sqrt(list_reduce(list_transform(vb.v, x -> x * x), (a,b) -> a + b))) AS cos
+           FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b)
+         SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sc WHERE cos >= 0.2""",
+    "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64)
   )
 }

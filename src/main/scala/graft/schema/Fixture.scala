@@ -221,6 +221,38 @@ object Fixture {
     (pairs.map(_._1), pairs.map(_._2))
   }
 
+  /** Live-event spike docs (enhanced_synthetic.py:541-570 — the "WWE
+    * Raw" synchronized-viewing scenario): one doc per entity, all
+    * emitted in the same window, every one carrying (a) the SAME event
+    * media asset — a guaranteed single hot exact-key block, the
+    * worst-case blocking skew — and (b) a near-identical event text
+    * span, plus 2-3 of the entity's own phrases that tie the doc to its
+    * true owner. Ground truth: the EMITTING entity. Sub-threshold by
+    * construction: a foreign live doc shares at most one strong text
+    * span (the event phrase) and one very-common asset (df ≈ the whole
+    * spike ≫ the rare cutoff), so the 2-independent-evidence gate
+    * holds and the spike must NOT merge its viewers. */
+  def liveEventDocs(cfg: Cfg, perEntity: Int = 1): (Seq[Doc], Seq[Label]) = {
+    val eventText = "everyone is watching the big live event stream tonight"
+    val pairs = for (e <- 0L until cfg.entities.toLong; d <- 0 until perEntity) yield {
+      val id = f"live${e}%05d_d$d%04d"
+      val nOwn = 2 + Rng.int(2, cfg.seed, 0xd0006L, e, d.toLong)
+      val own = (0 until nOwn).map { s =>
+        val p = Rng.int(phraseCount(cfg, e), cfg.seed, 0xd0007L, e, d.toLong, s.toLong)
+        ("text", noisy(cfg, phrase(cfg.seed, e, p), e, 8000L + d, s), null)
+      }
+      val event = Seq(
+        ("text", noisy(cfg, eventText, e, 9000L + d, 0), null),
+        ("media", null, "live_event_0")
+      )
+      val spans = (own ++ event).zipWithIndex.map { case ((kind, t, mr), off) =>
+        Span(kind, t, mr, off)
+      }
+      (Doc(id, spans), Label(id, entityId(e)))
+    }
+    (pairs.map(_._1), pairs.map(_._2))
+  }
+
   def docs(spark: SparkSession, cfg: Cfg): Dataset[Doc] = {
     import spark.implicits._
     spark

@@ -137,8 +137,11 @@ object Scoring {
     *  - media: computed once per pair, joined back on (doc_a, doc_b).
     *    The aggregate output is already hash-partitioned on those keys,
     *    so only the (much smaller) media side shuffles. */
-  def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame =
-    scoreWithReps(candidates, textRep(docs), mediaRep(docs), w)
+  def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame = {
+    val txt = textRep(docs).localCheckpoint(true)
+    val dict = textDictDense(txt).localCheckpoint(true)
+    scoreWithRepsDict(candidates, textIdsRep(txt, dict), mediaRep(docs), w, broadcastDict(dict))
+  }
 
   /** Anti-join resume: the candidate pairs NOT yet present in a
     * (possibly partial) scored checkpoint — the reference's cache
@@ -163,8 +166,266 @@ object Scoring {
     * distinctness (terminal groupBy(doc_a, doc_b)); callers feeding
     * hand-built pair sets must dropDuplicates first — deliberately NOT
     * done here, it would add a full extra shuffle of the candidate set
-    * to every scoring chunk. */
-  def scoreWithReps(candidates: DataFrame, txt: DataFrame, med: DataFrame, w: Weights = Weights()): DataFrame = {
+    * to every scoring chunk.
+    *
+    * Default path is the distinct-text-pair factorization (see
+    * [[textPairScores]]): the exploded span-pair stream carries only
+    * fixed-width longs and the JW kernel runs once per DISTINCT
+    * normalized text pair instead of once per span-pair row. Output is
+    * value-identical to [[scoreWithRepsDirect]] (same kernel, same
+    * strings, symmetric JW/Levenshtein) — ScoringDedupSpec asserts
+    * exact equality. Pass a precomputed `pairScores` (the pipeline
+    * checkpoints one for all chunks) to avoid rebuilding it per call. */
+  def scoreWithReps(
+      candidates: DataFrame,
+      txt: DataFrame,
+      med: DataFrame,
+      w: Weights = Weights(),
+      pairScores: Option[DataFrame] = None
+  ): DataFrame = {
+    val ps = pairScores.getOrElse(textPairScores(candidates, txt, w))
+    val slim = slimSpanPairs(candidates, txt)
+    // left join against the (small) similar-pair score table: AQE picks
+    // a broadcast-hash join when it fits; eq rows (tia == tib) bypass
+    // the table entirely — exact equality is jw 1.0 by definition of
+    // the kernel (incl. the empty-empty case). Rows with no similarity
+    // signal are dropped BEFORE the aggregate; pairs whose rows all
+    // drop reappear with zero defaults via the media left join below.
+    val contrib = slim
+      .join(ps, Seq("lt", "gt"), "left")
+      .select(
+        col("doc_a"), col("doc_b"), col("ia"), col("ib"),
+        when(col("tia") === col("tib"), lit(1.0))
+          .otherwise(coalesce(col("jw"), lit(0.0))).as("jw"),
+        when(col("tia") === col("tib"), lit(0.0))
+          .otherwise(coalesce(col("lev_sim"), lit(0.0))).as("lev_sim")
+      )
+      .where(col("jw") > lit(0.0))
+    aggAndFinish(contrib, mediaPairScores(candidates, med, w), w)
+  }
+
+  /** Pair-grain aggregation of contributing span-pair rows + media
+    * join + FS combination, shared by the factorized and dict paths.
+    * `contrib`: (doc_a, doc_b, ia, ib, jw, lev_sim) with jw > 0 only —
+    * pairs whose rows all dropped reappear with zero defaults via the
+    * media LEFT join (mediaPair covers every candidate pair). */
+  private def aggAndFinish(contrib: DataFrame, mediaPair: DataFrame, w: Weights): DataFrame = {
+    val agg = contrib
+      .withColumn("strong", col("jw") >= lit(w.jwStrong) || col("lev_sim") >= lit(w.levStrong))
+      .groupBy("doc_a", "doc_b")
+      .agg(
+        max(col("jw")).as("jw_best0"),
+        max(col("lev_sim")).as("lev_best0"),
+        bit_or(when(col("strong"), expr("shiftleft(1L, ia)")).otherwise(0L)).as("mask_a0"),
+        bit_or(when(col("strong"), expr("shiftleft(1L, ib)")).otherwise(0L)).as("mask_b0")
+      )
+    val joined = mediaPair
+      .join(agg, Seq("doc_a", "doc_b"), "left")
+      .select(
+        col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
+        coalesce(col("jw_best0"), lit(0.0)).as("jw_best"),
+        coalesce(col("lev_best0"), lit(0.0)).as("lev_best"),
+        coalesce(col("mask_a0"), lit(0L)).as("mask_a"),
+        coalesce(col("mask_b0"), lit(0L)).as("mask_b")
+      )
+      .withColumn("strong_a", bit_count(col("mask_a")).cast("long"))
+      .withColumn("strong_b", bit_count(col("mask_b")).cast("long"))
+      .withColumn("strong_min", least(col("strong_a"), col("strong_b")))
+    finishScore(joined, w)
+  }
+
+  /** Dense dictionary of the distinct normalized span texts:
+    * (t, tid:int), ids assigned in text sort order (range-sort +
+    * zipWithIndex — no single-partition global sort; the pipeline
+    * checkpoints the result so the assignment is stable for the run). */
+  def textDictDense(txt: DataFrame): DataFrame = {
+    val spark = txt.sparkSession
+    import spark.implicits._
+    txt.select(explode(col("texts")).as("t")).where(col("t").isNotNull).distinct()
+      .repartitionByRange(col("t"))
+      .sortWithinPartitions("t")
+      .rdd.zipWithIndex
+      .map { case (r, i) => (r.getString(0), i.toInt) }
+      .toDF("t", "tid")
+  }
+
+  /** Per-doc span-text ids: (doc_id, tids:array<int>), index-aligned
+    * with textRep's texts array (one shuffle join of the exploded rep
+    * against the dictionary; empty-texts docs keep an empty array). */
+  def textIdsRep(txt: DataFrame, dict: DataFrame): DataFrame =
+    txt.select(col("doc_id"), posexplode_outer(col("texts")).as(Seq("ia", "t")))
+      .join(dict, Seq("t"), "left")
+      .groupBy("doc_id")
+      .agg(
+        sort_array(collect_list(when(col("ia").isNotNull, struct(col("ia"), col("tid")))))
+          .as("ps")
+      )
+      .select(col("doc_id"), transform(col("ps"), s => s.getField("tid")).as("tids"))
+
+  /** Collect + broadcast the dictionary as tid-indexed UTF-8 bytes. */
+  def broadcastDict(dict: DataFrame): org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]] = {
+    val rows = dict.select(col("tid"), col("t")).collect()
+    val arr = new Array[Array[Byte]](rows.length)
+    rows.foreach(r => arr(r.getInt(0)) = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    dict.sparkSession.sparkContext.broadcast(arr)
+  }
+
+  /** Dict-kernel scoring path (round-4 default): the exploded span-pair
+    * stream carries only fixed-width ints — text bytes never enter a
+    * join shuffle or a Generate copy — and the JW/Levenshtein kernels
+    * read the broadcast dictionary, where a candidate pair's ~10 texts
+    * stay cache-hot across its whole row burst. Value-identical to
+    * [[scoreWithRepsDirect]] (same kernels, same strings; asserted by
+    * ScoringDedupSpec). `txtIds` from [[textIdsRep]], `bc` from
+    * [[broadcastDict]] — both derived from the same textRep. */
+  def scoreWithRepsDict(
+      candidates: DataFrame,
+      txtIds: DataFrame,
+      med: DataFrame,
+      w: Weights,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]
+  ): DataFrame = {
+    val pairs = candidates.select("doc_a", "doc_b")
+    val paired = pairs
+      .join(txtIds.select(col("doc_id").as("doc_a"), col("tids").as("tids_a")), "doc_a")
+      .join(txtIds.select(col("doc_id").as("doc_b"), col("tids").as("tids_b")), "doc_b")
+    val exA = paired.select(
+      col("doc_a"), col("doc_b"), col("tids_b"),
+      posexplode_outer(col("tids_a")).as(Seq("ia", "tia"))
+    )
+    val slim = exA.select(
+      col("doc_a"), col("doc_b"), col("ia"), col("tia"),
+      posexplode_outer(col("tids_b")).as(Seq("ib", "tib"))
+    )
+    val contrib = slim
+      .withColumn("jw", graft.functions.JwDictExpr.jwGE(col("tia"), col("tib"), 0.75, bc))
+      .where(col("jw") > lit(0.0))
+      .withColumn(
+        "lev_sim",
+        when(
+          col("jw") >= lit(0.75) && col("jw") < lit(w.jwStrong),
+          graft.functions.JwDictExpr.levSim(col("tia"), col("tib"), bc)
+        ).otherwise(lit(0.0))
+      )
+      .select("doc_a", "doc_b", "ia", "ib", "jw", "lev_sim")
+    aggAndFinish(contrib, mediaPairScores(candidates, med, w), w)
+  }
+
+  /** The slim exploded span-pair stream: every span pair of every
+    * candidate doc pair, texts dictionary-encoded to xxhash64 longs
+    * BEFORE the pair joins — neither the two join shuffles nor the
+    * Generate output carry a byte of text (span text was the measured
+    * stage-S memory-bandwidth ceiling at 32 threads). (lt, gt) is the
+    * order-canonicalized tid pair (JW and Levenshtein are symmetric). */
+  private def slimSpanPairs(candidates: DataFrame, txt: DataFrame): DataFrame = {
+    val tids = txt.select(col("doc_id"), transform(col("texts"), t => xxhash64(t)).as("tids"))
+    val pairs = candidates.select("doc_a", "doc_b")
+    val paired = pairs
+      .join(tids.select(col("doc_id").as("doc_a"), col("tids").as("tids_a")), "doc_a")
+      .join(tids.select(col("doc_id").as("doc_b"), col("tids").as("tids_b")), "doc_b")
+    val exA = paired.select(
+      col("doc_a"), col("doc_b"), col("tids_b"),
+      posexplode_outer(col("tids_a")).as(Seq("ia", "tia"))
+    )
+    exA
+      .select(
+        col("doc_a"), col("doc_b"), col("ia"), col("tia"),
+        posexplode_outer(col("tids_b")).as(Seq("ib", "tib"))
+      )
+      .withColumn("lt", least(col("tia"), col("tib")))
+      .withColumn("gt", greatest(col("tia"), col("tib")))
+  }
+
+  /** Dictionary of distinct normalized span texts with xxhash64 ids. */
+  def textDict(txt: DataFrame): DataFrame =
+    txt
+      .select(explode(col("texts")).as("t"))
+      .distinct()
+      .select(xxhash64(col("t")).as("tid"), col("t"))
+
+  /** Similarity scores for the DISTINCT unequal text pairs reachable
+    * from `candidates` — the factorized stage-S kernel table. The
+    * fixture's (and any real corpus') span texts repeat heavily across
+    * docs, so the candidate span-pair stream probes the same (ta, tb)
+    * combinations over and over; scoring each distinct pair once turns
+    * the JW/Levenshtein kernel cost from O(span-pair rows) into
+    * O(distinct text pairs). Only pairs clearing the kernel cutoff
+    * survive (everything else contributes exactly nothing to the
+    * aggregate), so the table stays small and broadcast-able. */
+  def textPairScores(
+      candidates: DataFrame,
+      txt: DataFrame,
+      w: Weights = Weights(),
+      dict0: Option[DataFrame] = None
+  ): DataFrame = {
+    val dict = dict0.getOrElse(textDict(txt))
+    // loud guard: a tid collision would silently alias two different
+    // texts (wrong eq-fast-path AND a fan-out in the dict joins). One
+    // tiny aggregate over the distinct-text dictionary.
+    locally {
+      val g = dict.agg(count(lit(1)).as("n"), countDistinct(col("tid")).as("nh")).head()
+      require(g.getLong(0) == g.getLong(1),
+        s"xxhash64 span-text collision (${g.getLong(0)} texts -> ${g.getLong(1)} tids); " +
+          "use scoreWithRepsDirect")
+    }
+    slimSpanPairs(candidates, txt)
+      .where(col("tia") =!= col("tib"))
+      .select("lt", "gt")
+      .distinct()
+      .join(dict.select(col("tid").as("lt"), col("t").as("ta")), "lt")
+      .join(dict.select(col("tid").as("gt"), col("t").as("tb")), "gt")
+      .withColumn("jw", graft.functions.JaroWinklerExpr.jaroWinklerGE(col("ta"), col("tb"), 0.75))
+      .withColumn(
+        "lev_sim",
+        when(
+          col("jw") >= lit(0.75) && col("jw") < lit(w.jwStrong),
+          lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+            greatest(length(col("ta")), length(col("tb")), lit(1))
+        ).otherwise(lit(0.0))
+      )
+      .where(col("jw") > lit(0.0))
+      .select("lt", "gt", "jw", "lev_sim")
+  }
+
+  /** Media branch at pair grain (shared by both scoring paths). */
+  private def mediaPairScores(candidates: DataFrame, med: DataFrame, w: Weights): DataFrame = {
+    val pairs = candidates.select("doc_a", "doc_b")
+    val medA = med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))
+    val medB = med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))
+    pairs
+      .join(medA, Seq("doc_a"), "left")
+      .join(medB, Seq("doc_b"), "left")
+      .withColumn("medias_a", coalesce(col("medias_a"), emptyMedias))
+      .withColumn("medias_b", coalesce(col("medias_b"), emptyMedias))
+      .select(
+        col("doc_a"), col("doc_b"),
+        mediaScore(w).as("m_score"),
+        when(
+          size(array_union(col("medias_a"), col("medias_b"))) > 0,
+          size(array_intersect(col("medias_a"), col("medias_b"))).cast("double") /
+            size(array_union(col("medias_a"), col("medias_b")))
+        ).otherwise(lit(0.0)).as("media_jaccard")
+      )
+  }
+
+  /** Final FS combination + decision gate (shared by both paths). */
+  private def finishScore(df: DataFrame, w: Weights): DataFrame = {
+    val textTerm = when(col("strong_min") >= 2, lit(w.wText2))
+      .when(col("strong_min") === 1, lit(w.wText1))
+      .otherwise(lit(w.wText0))
+    df.withColumn("score", textTerm + col("m_score"))
+      .withColumn("is_match", col("score") >= lit(w.threshold))
+      .select(
+        "doc_a", "doc_b", "score", "jw_best", "lev_best", "media_jaccard",
+        "strong_min", "mask_a", "mask_b", "is_match"
+      )
+  }
+
+  /** The pre-round-4 single-pass path: JW kernel inline over the
+    * text-carrying exploded span-pair stream. Kept as the A/B baseline
+    * and as the fallback for corpora with xxhash64 span-text collisions
+    * (see the guard in [[textPairScores]]). */
+  def scoreWithRepsDirect(candidates: DataFrame, txt: DataFrame, med: DataFrame, w: Weights = Weights()): DataFrame = {
     val pairs = candidates.select("doc_a", "doc_b")
     val medA = med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))
     val medB = med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))

@@ -29,10 +29,18 @@ object Bucketed {
   def table(spark: SparkSession, name: String): DataFrame = spark.table(name)
 
   /** True if the executed plan of `df` contains any shuffle exchange —
-    * the thing bucketing is supposed to eliminate. */
-  def hasShuffle(df: DataFrame): Boolean =
-    df.queryExecution.executedPlan.exists {
+    * the thing bucketing is supposed to eliminate. Under AQE the root is
+    * an AdaptiveSparkPlanExec LEAF wrapping the real plan, so a plain
+    * traversal would never see the inner exchanges; unwrap it (and any
+    * nested adaptive subtrees) before looking. */
+  def hasShuffle(df: DataFrame): Boolean = {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    def scan(p: SparkPlan): Boolean = p.exists {
+      case a: AdaptiveSparkPlanExec => scan(a.executedPlan)
       case _: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => true
       case _ => false
     }
+    scan(df.queryExecution.executedPlan)
+  }
 }

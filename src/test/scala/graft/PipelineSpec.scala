@@ -56,6 +56,15 @@ class PipelineSpec extends AnyFunSuite {
       .select("ms")
     assert(a.exceptAll(b).count() == 0 && b.exceptAll(a).count() == 0,
       "dictIds=true and dictIds=false must produce identical partitions")
+    // dense-dictionary mode (the 10¹²-doc encoding): same partition AND
+    // — because dense ids are assigned in doc_id sort order — the exact
+    // same canonical labels as the string path
+    val dirD = Files.createTempDirectory("graft_pipe_dense").toString
+    val denseRun = Pipeline.run(spark, docs, dirD, Pipeline.Cfg(dictMode = "dense"))
+    val d = denseRun.clusters.select("cluster_id", "doc_id")
+    val s = strRun.clusters.select("cluster_id", "doc_id")
+    assert(d.exceptAll(s).count() == 0 && s.exceptAll(d).count() == 0,
+      "dense mode must reproduce the string path's exact cluster labels")
   }
 
   test("pairwise F1 >= 0.99 on labeled same-block pairs") {
@@ -141,7 +150,8 @@ class PipelineSpec extends AnyFunSuite {
   test("lineage covers every stage; metrics recorded") {
     val lineage = spark.read.parquet(s"$runDir/lineage")
     val stages = lineage.select("stage").distinct().collect().map(_.getString(0)).toSet
-    assert(stages == Set("candidates", "text_rep", "media_rep", "scored_pairs", "clusters"))
+    assert(stages == Set("candidates", "text_rep", "media_rep", "text_dict", "text_ids",
+      "scored_pairs", "clusters"))
     val metrics = spark.read.parquet(s"$runDir/metrics")
     val names = metrics.select("name").collect().map(_.getString(0)).toSet
     assert(names.contains("candidate_pairs") && names.contains("cc_iterations") && names.contains("dropped_pairs_est"))

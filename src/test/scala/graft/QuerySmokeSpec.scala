@@ -58,4 +58,27 @@ class QuerySmokeSpec extends AnyFunSuite {
       assert(diffs.isEmpty, diffs.mkString("\n"))
     }
   }
+
+  // The pir_* family has no DuckDB oracle (the driver testdata lacks a
+  // span-schema table), so a silent QUALITY regression would reach the
+  // driver as plausible rows. Pin the full cluster-size histogram —
+  // the most regression-sensitive projection of the whole pipeline
+  // (every blocking/scoring/clustering change moves it) — to committed
+  // content, not just a row count.
+  test("pir_cluster_sizes content matches the committed histogram (sf0.001)") {
+    val df = spark.read.parquet(s"$outDir/pir_cluster_sizes")
+    val actual = df.collect()
+      .map(r => s"${r.getAs[Long]("n_docs")} ${r.getAs[Long]("n_clusters")}")
+      .sorted.mkString("", "\n", "\n")
+    val path = java.nio.file.Paths.get("src/test/resources/expected_cluster_sizes_sf0.001.txt")
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_EXPECTED") || !java.nio.file.Files.exists(path)) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, actual)
+      info(s"histogram (re)generated at $path — commit the file")
+    } else {
+      val expected = java.nio.file.Files.readString(path)
+      assert(actual == expected,
+        s"cluster-size histogram drifted:\nexpected:\n$expected\nactual:\n$actual")
+    }
+  }
 }

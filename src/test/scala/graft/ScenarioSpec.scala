@@ -63,6 +63,47 @@ class ScenarioSpec extends AnyFunSuite {
       s"scenario injection caused a merge wave: $baseMixed -> $scenarioMixed")
   }
 
+  test("live-event spike: hot block capped with accounting, F1 gate holds, no merge wave") {
+    import spark.implicits._
+    val cfg = Fixture.scales("t1")
+    // 3 docs × 50 entities = a 150-doc synchronized spike, well past
+    // the capped block size below
+    val (liveD, liveL) = Fixture.liveEventDocs(cfg, perEntity = 3)
+    val docs = Fixture.docs(spark, cfg).toDF().unionByName(liveD.toDF()).cache()
+    val labels = Fixture.labels(spark, cfg).toDF().unionByName(liveL.toDF()).cache()
+    // cap below the spike size so the event block must be dropped WITH
+    // accounting — the 100 TB posture: a synchronized spike may not
+    // produce an n² block, and may not vanish silently either
+    val bcfg = Blocking.Cfg(maxBlockSize = 100)
+    val keys = Blocking.docKeys(docs, bcfg).localCheckpoint(true)
+    val drops = Blocking.dropMetrics(keys, bcfg).head()
+    info(s"dropped_blocks=${drops.getDouble(0)} dropped_pairs_est=${drops.getDouble(1)}")
+    assert(drops.getDouble(0) >= 1.0, "the live-event block must hit the cap")
+    // the spike block alone is 150·149/2 pairs; the base fixture's
+    // deliberately-hot asset also exceeds this cap — accounting must
+    // cover at least the spike's mass
+    assert(drops.getDouble(1) >= 150.0 * 149 / 2, "dropped-pair accounting must cover the spike")
+    val cand = Blocking.candidatesFromKeys(keys, bcfg).localCheckpoint(true)
+    val scored = Scoring.score(cand, docs).localCheckpoint(true)
+    val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+    val cc = ConnectedComponents.run(edges, docs.select("doc_id"))
+    val clusters = Attach.attachSingletons(cc.assignments.localCheckpoint(true), scored).localCheckpoint(true)
+    val (p, r, f1, pos, fp) = Calibrate.pairwiseF1(Calibrate.clusterPairs(clusters, cand), cand, labels)
+    info(f"live-event F1=$f1%.4f (P=$p%.4f R=$r%.4f pos=$pos fp=$fp)")
+    assert(f1 >= 0.985, f"live-event scenario: F1 $f1%.4f")
+    val mixed = clusters.join(labels, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct("entity_id").as("n"))
+      .where(col("n") > 1).count()
+    val base = graft.queries.Resolution.staged(spark, "t1")
+    val baseMixed = base.clusters.join(base.labels, "doc_id")
+      .groupBy("cluster_id").agg(countDistinct("entity_id").as("n"))
+      .where(col("n") > 1).count()
+    info(s"mixed clusters: base=$baseMixed spike=$mixed")
+    // same tolerance as the cov/hoff scenario: ambiguous injected docs
+    // may shift a few attach decisions; a spike-driven merge wave may not
+    assert(mixed <= baseMixed + 3, s"live-event spike merged entities: $baseMixed -> $mixed")
+  }
+
   test("co-viewing signal surfaces as sub-threshold shared-media evidence") {
     val (_, _, _, scored, _) = staged
     // pairs between a co-view doc and its partner entity's docs must
