@@ -62,7 +62,131 @@ object JW {
     if (v >= cutoff) v else 0.0
   }
 
-  private def jwAsciiSmall(a: UTF8String, b: UTF8String, cutoff: Double = 0.0): Double = {
+  /** Per-thread scratch for the SWAR kernel: b's bytes packed into
+    * longs, plus a generation-stamped per-character position-mask cache
+    * (no clearing between calls; `gen` invalidates lazily). */
+  private final class Scratch {
+    val bLongs = new Array[Long](8)
+    val charMask = new Array[Long](128)
+    val charGen = new Array[Int](128)
+    var gen = 0
+  }
+  private val scratch = new ThreadLocal[Scratch] {
+    override def initialValue(): Scratch = new Scratch
+  }
+
+  /** SWAR Jaro-Winkler for ASCII ≤ 64 bytes: b's bytes are packed into
+    * ≤ 8 longs once per call; for each distinct character of `a` a
+    * 64-bit "positions of this char in b" mask is built with the
+    * zero-byte trick + movemask multiply (8 bytes per step) and cached;
+    * each match-scan step is then `mask & ~claimed & window` +
+    * numberOfTrailingZeros — the first free matching position, exactly
+    * the reference scan's greedy choice. ~3-4× fewer ops than the
+    * byte-at-a-time loop on 40-char inputs (JwBench), value-identical
+    * (JaroWinklerSpec differential test). Abort-check placement matches
+    * the reference kernel exactly, so thresholded results agree too. */
+  private[graft] def jwAsciiSmall(a: UTF8String, b: UTF8String, cutoff: Double = 0.0): Double = {
+    val la = a.numBytes
+    val lb = b.numBytes
+    val window = math.max(0, math.max(la, lb) / 2 - 1)
+    val needJ = if (cutoff > 0.0) {
+      var p = 0
+      val maxP = math.min(4, math.min(la, lb))
+      while (p < maxP && a.getByte(p) == b.getByte(p)) p += 1
+      (cutoff - 0.1 * p) / (1.0 - 0.1 * p)
+    } else 0.0
+    if (cutoff > 0.0) {
+      val mn = math.min(la, lb).toDouble
+      val mx = math.max(la, lb).toDouble
+      if ((mn / mx + 2.0) / 3.0 < needJ) return 0.0
+    }
+    val s = scratch.get()
+    // pack b into longs (little-endian: byte k lives at bits 8(k&7) of
+    // long k>>3); zero-fill the tail of the last chunk
+    val nChunks = (lb + 7) >> 3
+    var c = 0
+    while (c < nChunks) { s.bLongs(c) = 0L; c += 1 }
+    var k0 = 0
+    while (k0 < lb) {
+      s.bLongs(k0 >> 3) |= (b.getByte(k0) & 0xffL) << ((k0 & 7) << 3)
+      k0 += 1
+    }
+    val lenMask = if (lb == 64) -1L else (1L << lb) - 1L
+    s.gen += 1
+    val gen = s.gen
+
+    var aM = 0L
+    var bM = 0L
+    var matches = 0
+    var i = 0
+    while (i < la) {
+      val lo = math.max(0, i - window)
+      val hi = math.min(lb - 1, i + window)
+      if (hi >= lo) {
+        val ca = a.getByte(i) & 0x7f
+        var m = 0L
+        if (s.charGen(ca) == gen) m = s.charMask(ca)
+        else {
+          // build the char-position mask: EXACT per-byte zero test
+          // (the classic (x-0x01..)&~x&0x80.. is only approximate —
+          // borrow chains flag a 0x01 byte above a true zero byte),
+          // then a movemask multiply compresses the 0x80 flags to bits
+          val ca01 = (ca & 0xffL) * 0x0101010101010101L
+          var ch = 0
+          while (ch < nChunks) {
+            val x = s.bLongs(ch) ^ ca01
+            val u = (x & 0x7f7f7f7f7f7f7f7fL) + 0x7f7f7f7f7f7f7f7fL
+            val z = ~(u | x | 0x7f7f7f7f7f7f7f7fL) // 0x80 iff byte == 0, carry-free
+            m |= ((z * 0x0002040810204081L) >>> 56) << (ch << 3)
+            ch += 1
+          }
+          m &= lenMask
+          s.charMask(ca) = m
+          s.charGen(ca) = gen
+        }
+        val winMask =
+          if (hi - lo + 1 >= 64) -1L
+          else ((1L << (hi - lo + 1)) - 1L) << lo
+        val valid = m & ~bM & winMask
+        if (valid != 0L) {
+          val k = java.lang.Long.numberOfTrailingZeros(valid)
+          aM |= 1L << i
+          bM |= 1L << k
+          matches += 1
+        }
+      }
+      i += 1
+      if (cutoff > 0.0 && (i & 7) == 0) {
+        val mMax = (matches + (la - i)).toDouble
+        if ((mMax / la + mMax / lb + 1.0) / 3.0 < needJ) return 0.0
+      }
+    }
+    if (matches == 0) return 0.0
+    var t = 0
+    var k = 0
+    i = 0
+    while (i < la) {
+      if (((aM >>> i) & 1L) == 1L) {
+        while (((bM >>> k) & 1L) == 0L) k += 1
+        if (a.getByte(i) != b.getByte(k)) t += 1
+        k += 1
+      }
+      i += 1
+    }
+    val m = matches.toDouble
+    val j = (m / la + m / lb + (m - t / 2.0) / m) / 3.0
+    if (j <= 0.7) j
+    else {
+      var l = 0
+      val maxP = math.min(4, math.min(la, lb))
+      while (l < maxP && a.getByte(l) == b.getByte(l)) l += 1
+      j + l * 0.1 * (1.0 - j)
+    }
+  }
+
+  /** The byte-at-a-time reference kernel (differential-test oracle for
+    * the SWAR path above; not on the hot path). */
+  private[graft] def jwAsciiSmallRef(a: UTF8String, b: UTF8String, cutoff: Double = 0.0): Double = {
     val la = a.numBytes
     val lb = b.numBytes
     val window = math.max(0, math.max(la, lb) / 2 - 1)

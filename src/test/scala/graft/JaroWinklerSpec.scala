@@ -100,4 +100,39 @@ class JaroWinklerSpec extends AnyFunSuite {
     val r = spark.sql("SELECT jaro_winkler('abc', CAST(NULL AS STRING)) AS jw").head()
     assert(r.isNullAt(0))
   }
+
+  test("SWAR kernel is bit-identical to the byte-at-a-time reference kernel") {
+    import org.apache.spark.unsafe.types.UTF8String
+    // 200k random pairs across three regimes: fixture-like normalized
+    // text (lowercase+digits+space, syllable-ish lengths), near-dup
+    // edits of a shared base, and fully random ascii incl. length
+    // extremes (1..64). Exact Double equality at cutoff 0 and 0.75 —
+    // the SWAR path must reproduce the reference kernel's greedy match
+    // assignment, transpositions, prefix bonus, AND abort decisions.
+    val rnd = new scala.util.Random(11)
+    val alnum = "abcdefghijklmnopqrstuvwxyz0123456789 "
+    def fixtureLike(): String =
+      (0 until 20 + rnd.nextInt(40)).map(_ => alnum(rnd.nextInt(alnum.length))).mkString
+    def anyAscii(): String =
+      (0 until 1 + rnd.nextInt(64)).map(_ => (0x20 + rnd.nextInt(0x5f)).toChar).mkString
+    def edit(s: String): String = {
+      val sb = new StringBuilder(s)
+      (0 until 1 + rnd.nextInt(3)).foreach { _ =>
+        if (sb.nonEmpty) sb.setCharAt(rnd.nextInt(sb.length), alnum(rnd.nextInt(alnum.length)))
+      }
+      sb.toString
+    }
+    var n = 0
+    while (n < 200000) {
+      val (a, b) = (rnd.nextInt(3): @unchecked) match {
+        case 0 => (fixtureLike(), fixtureLike())
+        case 1 => val base = fixtureLike(); (base, edit(base))
+        case 2 => (anyAscii(), anyAscii())
+      }
+      val (ua, ub) = (UTF8String.fromString(a), UTF8String.fromString(b))
+      assert(JW.jwAsciiSmall(ua, ub) == JW.jwAsciiSmallRef(ua, ub), s"plain '$a' / '$b'")
+      assert(JW.jwAsciiSmall(ua, ub, 0.75) == JW.jwAsciiSmallRef(ua, ub, 0.75), s"gated '$a' / '$b'")
+      n += 1
+    }
+  }
 }
