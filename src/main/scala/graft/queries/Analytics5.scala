@@ -115,7 +115,13 @@ object Analytics5 {
           transform(col("embedding"), _.cast("double")).as("features")
         ),
         k = 3, iters = 3
-      ))
+      )),
+
+    // ---- behavioral-segment engine (behavioral_profiling.py:157-360):
+    //      template segments over per-user signals, share × efficacy
+    //      attribution, rank + budget allocation ----
+    "q36_behavior_segments" -> ((s, dir) =>
+      graft.ops.Behavioral.segmentAttribution(t(s, dir, "events")))
   )
 
   // ---- oracle SQL ----
@@ -292,6 +298,69 @@ object Analytics5 {
                 sqrt(list_reduce(list_transform(vb.v, x -> x * x), (a,b) -> a + b))) AS cos
            FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b)
          SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sc WHERE cos >= 0.2""",
-    "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64)
+    "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64),
+    "q36_behavior_segments" -> {
+      val tplRows = graft.ops.Behavioral.templates
+        .map { case (s, c, e, r) => s"('$s', '$c', $e, $r)" }.mkString(",\n           ")
+      s"""WITH banded AS (
+           SELECT user_id, event_type, value,
+             CASE WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 6 AND 11 THEN 'a_morning'
+                  WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 12 AND 17 THEN 'b_afternoon'
+                  WHEN hour(CAST(ts AS TIMESTAMP)) BETWEEN 18 AND 23 THEN 'c_evening'
+                  ELSE 'd_night' END AS band
+           FROM events),
+         modal AS (
+           SELECT user_id, band AS modal_band FROM (
+             SELECT user_id, band,
+               row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, band) AS rk
+             FROM banded GROUP BY user_id, band)
+           WHERE rk = 1),
+         sig AS (
+           SELECT b.user_id, count(*) AS n,
+             CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) * 10
+                + sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) * 6
+                + sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) * 3 AS DOUBLE)
+               / (count(*) * 10) AS intent,
+             sum(value) / count(*) AS avg_value,
+             any_value(m.modal_band) AS modal_band
+           FROM banded b JOIN modal m ON b.user_id = m.user_id
+           GROUP BY b.user_id),
+         counts AS (
+           SELECT count(*) AS total,
+             CAST(sum(CASE WHEN intent >= 0.25 AND modal_band = 'c_evening' THEN 1 ELSE 0 END) AS BIGINT) AS n_high_intent_evening,
+             CAST(sum(CASE WHEN intent <= 0.15 AND modal_band = 'd_night' THEN 1 ELSE 0 END) AS BIGINT) AS n_low_intent_night,
+             CAST(sum(CASE WHEN n >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS n_family_co_viewing,
+             CAST(sum(CASE WHEN avg_value < 50.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_price_sensitive
+           FROM sig),
+         tpl(segment_id, channel, efficacy, roi_multiplier) AS (VALUES
+           $tplRows),
+         rows0 AS (
+           SELECT t.segment_id, t.channel, t.roi_multiplier,
+             CASE t.segment_id
+               WHEN 'high_intent_evening' THEN c.n_high_intent_evening
+               WHEN 'low_intent_night' THEN c.n_low_intent_night
+               WHEN 'family_co_viewing' THEN c.n_family_co_viewing
+               ELSE c.n_price_sensitive END AS n_users,
+             CAST(CASE t.segment_id
+               WHEN 'high_intent_evening' THEN c.n_high_intent_evening
+               WHEN 'low_intent_night' THEN c.n_low_intent_night
+               WHEN 'family_co_viewing' THEN c.n_family_co_viewing
+               ELSE c.n_price_sensitive END AS DOUBLE) / c.total AS share,
+             CAST(CASE t.segment_id
+               WHEN 'high_intent_evening' THEN c.n_high_intent_evening
+               WHEN 'low_intent_night' THEN c.n_low_intent_night
+               WHEN 'family_co_viewing' THEN c.n_family_co_viewing
+               ELSE c.n_price_sensitive END AS DOUBLE) / c.total * t.efficacy AS attribution
+           FROM tpl t, counts c)
+         SELECT segment_id, channel, n_users,
+           round(share, 6) AS share6,
+           round(attribution, 6) AS attribution6,
+           CAST(row_number() OVER (PARTITION BY segment_id ORDER BY attribution DESC, channel) AS BIGINT) AS rnk,
+           CASE WHEN attribution > 0
+             THEN round(attribution / sum(attribution) OVER (PARTITION BY segment_id), 6)
+             ELSE 0.0 END AS budget6,
+           roi_multiplier
+         FROM rows0"""
+    }
   )
 }
