@@ -30,7 +30,12 @@ object Blocking {
       bands: Int = 12,
       maxBlockSize: Int = 1000,
       salts: Int = 16,
-      seed: Long = 42L
+      seed: Long = 42L,
+      // fused MinHash kernel (one compiled pass per doc,
+      // functions/MinHashBands.scala) vs the explode→k-min-aggregate
+      // formulation. Bit-identical band keys (BlockingFusedSpec);
+      // the aggregate path is kept as the A/B + audit baseline.
+      fusedMinhash: Boolean = true
   ) {
     def rows: Int = minhashK / bands
     require(minhashK % bands == 0, "minhashK must be divisible by bands")
@@ -53,19 +58,30 @@ object Blocking {
     // the shingle/hash projection is the CPU-heavy stage — make sure it
     // is not fused onto an under-parallel file scan
     val src = graft.util.Parallelism.ensure(docs.select(col("doc_id"), docText.as("dt")))
-    val shingleRows = src.select(
-      col("doc_id"),
-      explode(shingleHashes(charShingles(col("dt"), cfg.shingleN))).as("h")
-    )
-    val aggs = minhashAggExprs(col("h"), cfg.minhashK, cfg.seed)
-    val sig = shingleRows
-      .groupBy("doc_id")
-      .agg(aggs.head, aggs.tail: _*)
-      .select(col("doc_id"), minhashSigFromAgg(cfg.minhashK).as("sig"))
-
-    val lsh = sig
-      .select(col("doc_id"), explode(bandKeys(col("sig"), cfg.bands, cfg.rows)).as("block_key"))
-      .select(col("doc_id"), lit("lsh").as("key_kind"), col("block_key"))
+    val lsh =
+      if (cfg.fusedMinhash)
+        // one compiled pass per doc: rolling shingle window + k affine
+        // minima + band mixing in registers; per-doc output is `bands`
+        // longs (vs ~len(text) shingle rows through a k-min aggregate)
+        src.select(
+          col("doc_id"),
+          explode(graft.functions.MinHashBands.bandKeys(
+            col("dt"), cfg.shingleN, cfg.minhashK, cfg.bands, cfg.seed)).as("block_key")
+        ).select(col("doc_id"), lit("lsh").as("key_kind"), col("block_key"))
+      else {
+        val shingleRows = src.select(
+          col("doc_id"),
+          explode(shingleHashes(charShingles(col("dt"), cfg.shingleN))).as("h")
+        )
+        val aggs = minhashAggExprs(col("h"), cfg.minhashK, cfg.seed)
+        val sig = shingleRows
+          .groupBy("doc_id")
+          .agg(aggs.head, aggs.tail: _*)
+          .select(col("doc_id"), minhashSigFromAgg(cfg.minhashK).as("sig"))
+        sig
+          .select(col("doc_id"), explode(bandKeys(col("sig"), cfg.bands, cfg.rows)).as("block_key"))
+          .select(col("doc_id"), lit("lsh").as("key_kind"), col("block_key"))
+      }
 
     val media = graft.util.Parallelism.ensure(docs)
       .select(

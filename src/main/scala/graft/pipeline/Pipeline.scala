@@ -57,20 +57,36 @@ object Pipeline {
       // where birthday odds on 64-bit hashes (~2.7%) stop being
       // ignorable.
       dictMode: String = "hash",
+      // broadcast the per-doc rep frames (span-id arrays + media sets)
+      // into the candidate-pair stream when the corpus is at most this
+      // many docs: stage S then runs with ZERO shuffle exchanges
+      // (map-side hash joins off the candidate checkpoint). Default 0
+      // = off: on a single box the exchange is a memcpy and the four
+      // broadcast hash-relation builds are a measured net LOSS
+      // (557 vs 469 stage-S CPU core-s at bench scale, FusedAB); on a
+      // multi-node cluster the same knob skips two network shuffles of
+      // the dominant pair stream — set it to the executor-memory bound
+      // (~60 B/doc → 2M docs ≈ 120 MB) when deploying there.
+      broadcastRepsMaxDocs: Long = 0L,
       // stage-S kernel path:
-      //  - "dict" (default): dense text dictionary broadcast once; the
-      //    exploded span-pair stream is fixed-width ints and the
-      //    JW/Levenshtein kernels read cache-hot dictionary entries.
+      //  - "fused" (default): the whole per-pair text score — best JW,
+      //    rescue-Levenshtein, strong-span masks — computed by ONE
+      //    codegen'd expression over the two dict-id arrays; no
+      //    Generate, no aggregate, one row per pair end to end
+      //    (functions/FusedSpanScore.scala). Shares the broadcast
+      //    dictionary bound of "dict".
+      //  - "dict": dense text dictionary broadcast once; exploded
+      //    span-pair stream of fixed-width ints + hash aggregate.
       //    Requires the distinct-span-text dictionary to fit in
       //    executor memory (bench: 1.65M texts ≈ 150 MB).
-      //  - "direct": inline string kernels over a text-carrying stream
-      //    (no memory bound; the pre-round-4 path).
+      //  - "direct": inline string kernels over a text-carrying
+      //    exploded stream (no memory bound; the pre-round-4 path).
       //  - "pair": factorized distinct-text-pair score table (measured
       //    2× slower than direct on the bench fixture — its distinct
       //    pass buys nothing when spans rarely repeat verbatim; kept
       //    for corpora with heavy exact-span repetition).
-      // All three are value-identical (ScoringDedupSpec).
-      scorePath: String = "dict"
+      // All four are value-identical (ScoringDedupSpec).
+      scorePath: String = "fused"
   )
 
   final case class Result(
@@ -204,10 +220,10 @@ object Pipeline {
     //    once; the dictionary is broadcast once and every chunk's kernel
     //    reads it (see Scoring.scoreWithRepsDict).
     //  - pair: distinct-text-pair score table, left-joined per chunk.
-    require(Set("dict", "direct", "pair").contains(cfg.scorePath),
+    require(Set("fused", "dict", "direct", "pair").contains(cfg.scorePath),
       s"unknown scorePath '${cfg.scorePath}'")
     val dictSide =
-      if (cfg.scorePath == "dict") {
+      if (cfg.scorePath == "dict" || cfg.scorePath == "fused") {
         val dict = stage("text_dict")(Scoring.textDictDense(textRep))
         val txtIds = stage("text_ids")(Scoring.textIdsRep(textRep, dict))
         Some((txtIds, Scoring.broadcastDict(dict)))
@@ -216,6 +232,11 @@ object Pipeline {
       if (cfg.scorePath == "pair")
         Some(stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
       else None
+
+    // one count on the checkpointed rep decides the fused path's rep
+    // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
+    val bcastReps = cfg.scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
+      dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
 
     // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
     // each chunk commits independently (its own parquet _SUCCESS), the
@@ -258,6 +279,9 @@ object Pipeline {
           if (!done(cpath)) {
             val chunk = candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
             (cfg.scorePath match {
+              case "fused" =>
+                val (txtIds, bc) = dictSide.get
+                Scoring.scoreWithRepsFused(chunk, txtIds, mediaRep, cfg.weights, bc, bcastReps)
               case "dict" =>
                 val (txtIds, bc) = dictSide.get
                 Scoring.scoreWithRepsDict(chunk, txtIds, mediaRep, cfg.weights, bc)

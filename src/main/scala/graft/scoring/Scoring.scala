@@ -140,7 +140,7 @@ object Scoring {
   def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame = {
     val txt = textRep(docs).localCheckpoint(true)
     val dict = textDictDense(txt).localCheckpoint(true)
-    scoreWithRepsDict(candidates, textIdsRep(txt, dict), mediaRep(docs), w, broadcastDict(dict))
+    scoreWithRepsFused(candidates, textIdsRep(txt, dict), mediaRep(docs), w, broadcastDict(dict))
   }
 
   /** Anti-join resume: the candidate pairs NOT yet present in a
@@ -309,6 +309,65 @@ object Scoring {
       )
       .select("doc_a", "doc_b", "ia", "ib", "jw", "lev_sim")
     aggAndFinish(contrib, mediaPairScores(candidates, med, w), w)
+  }
+
+  /** Fused scoring path (round-4 final default): one row per candidate
+    * pair end to end. The text kernel — best JW, rescue-Levenshtein,
+    * strong-span bit masks — runs as a single codegen'd expression over
+    * the two dict-id arrays ([[graft.functions.FusedSpanKernel]]), and
+    * the media branch is folded into the SAME row (medias join on the
+    * same doc_a/doc_b keys as the id arrays, reusing their hash
+    * partitioning), so stage S has no Generate, no aggregate, and no
+    * pair-grain re-join: two join chains → one map → write. At planet
+    * scale the only shuffles are the two rep joins, both on doc id.
+    * Value-identical to [[scoreWithRepsDirect]] (ScoringDedupSpec). */
+  def scoreWithRepsFused(
+      candidates: DataFrame,
+      txtIds: DataFrame,
+      med: DataFrame,
+      w: Weights,
+      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      // broadcast the per-doc rep frames into the pair stream: stage S
+      // then has NO shuffle exchange at all (pairs stream off the
+      // candidate checkpoint through map-side hash joins). A cluster-
+      // shape knob: worth two network shuffles of the pair stream on a
+      // multi-node deployment, but a measured net LOSS on one box
+      // (broadcast hash-relation builds cost more than local memcpy
+      // exchanges: 557 vs 469 stage-S CPU core-s, FusedAB) — so the
+      // pipeline defaults it off (Cfg.broadcastRepsMaxDocs = 0) and
+      // gates it on a doc-count/executor-memory threshold when on.
+      bcastReps: Boolean = false
+  ): DataFrame = {
+    val hint: DataFrame => DataFrame = if (bcastReps) broadcast else identity
+    val full = candidates.select("doc_a", "doc_b")
+      .join(hint(txtIds.select(col("doc_id").as("doc_a"), col("tids").as("tids_a"))), "doc_a")
+      .join(hint(med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))), Seq("doc_a"), "left")
+      .join(hint(txtIds.select(col("doc_id").as("doc_b"), col("tids").as("tids_b"))), "doc_b")
+      .join(hint(med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))), Seq("doc_b"), "left")
+      .withColumn("medias_a", coalesce(col("medias_a"), emptyMedias))
+      .withColumn("medias_b", coalesce(col("medias_b"), emptyMedias))
+    val scored = full.select(
+      col("doc_a"), col("doc_b"),
+      graft.functions.FusedSpanScore.score(
+        col("tids_a"), col("tids_b"), 0.75, w.jwStrong, w.levStrong, bc).as("r"),
+      mediaScore(w).as("m_score"),
+      when(
+        size(array_union(col("medias_a"), col("medias_b"))) > 0,
+        size(array_intersect(col("medias_a"), col("medias_b"))).cast("double") /
+          size(array_union(col("medias_a"), col("medias_b")))
+      ).otherwise(lit(0.0)).as("media_jaccard")
+    )
+    val joined = scored.select(
+        col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
+        col("r.jw_best").as("jw_best"),
+        col("r.lev_best").as("lev_best"),
+        col("r.mask_a").as("mask_a"),
+        col("r.mask_b").as("mask_b")
+      )
+      .withColumn("strong_a", bit_count(col("mask_a")).cast("long"))
+      .withColumn("strong_b", bit_count(col("mask_b")).cast("long"))
+      .withColumn("strong_min", least(col("strong_a"), col("strong_b")))
+    finishScore(joined, w)
   }
 
   /** The slim exploded span-pair stream: every span pair of every

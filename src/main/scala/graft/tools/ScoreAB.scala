@@ -20,10 +20,10 @@ object ScoreAB {
     val docs = spark.read.parquet(docsPath)
     val cand = Blocking.candidates(docs, Blocking.Cfg()).localCheckpoint(true)
     println("cand=" + cand.count())
-    // SPARK_GRAFT_SCORE_PATH=direct|pair|dict (default dict — round-4
-    // dictionary-kernel path). pair/dict include their stage-S1 builds
-    // in the measured run, like a fresh pipeline would.
-    val path = sys.env.getOrElse("SPARK_GRAFT_SCORE_PATH", "dict")
+    // SPARK_GRAFT_SCORE_PATH=direct|pair|dict|fused (default fused —
+    // the single-expression kernel). pair/dict/fused include their
+    // stage-S1 builds in the measured run, like a fresh pipeline would.
+    val path = sys.env.getOrElse("SPARK_GRAFT_SCORE_PATH", "fused")
     val txt = Scoring.textRep(docs).localCheckpoint(true)
     val med = Scoring.mediaRep(docs).localCheckpoint(true)
     (1 to 3).foreach { i =>
@@ -37,12 +37,13 @@ object ScoreAB {
           val ps = spark.read.parquet("/tmp/score_ab_ps")
           println(f"  ps build: ${(System.nanoTime() - t0) / 1e9}%.1f s, rows=${ps.count()}")
           Scoring.scoreWithReps(cand, txt, med, Scoring.Weights(), Some(ps))
-        case _ =>
+        case p =>
           val dict = Scoring.textDictDense(txt).localCheckpoint(true)
           val ids = Scoring.textIdsRep(txt, dict).localCheckpoint(true)
           val bc = Scoring.broadcastDict(dict)
           println(f"  dict build: ${(System.nanoTime() - t0) / 1e9}%.1f s, texts=${bc.value.length}")
-          Scoring.scoreWithRepsDict(cand, ids, med, Scoring.Weights(), bc)
+          if (p == "fused") Scoring.scoreWithRepsFused(cand, ids, med, Scoring.Weights(), bc)
+          else Scoring.scoreWithRepsDict(cand, ids, med, Scoring.Weights(), bc)
       }
       scored.write.mode("overwrite").parquet("/tmp/score_ab")
       println(f"run $i ($path): ${(System.nanoTime() - t0) / 1e9}%.1f s")

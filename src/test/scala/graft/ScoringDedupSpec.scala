@@ -26,9 +26,12 @@ class ScoringDedupSpec extends AnyFunSuite {
     val ids = Scoring.textIdsRep(txt, dict)
     val a = Scoring.scoreWithRepsDirect(cand, txt, med).collect().map(r => key(r) -> r).toMap
     val b = Scoring.scoreWithReps(cand, txt, med).collect().map(r => key(r) -> r).toMap
-    val c = Scoring.scoreWithRepsDict(cand, ids, med, Scoring.Weights(), Scoring.broadcastDict(dict))
+    val bc = Scoring.broadcastDict(dict)
+    val c = Scoring.scoreWithRepsDict(cand, ids, med, Scoring.Weights(), bc)
       .collect().map(r => key(r) -> r).toMap
-    for ((other, lbl) <- Seq((b, "pair"), (c, "dict"))) {
+    val d = Scoring.scoreWithRepsFused(cand, ids, med, Scoring.Weights(), bc)
+      .collect().map(r => key(r) -> r).toMap
+    for ((other, lbl) <- Seq((b, "pair"), (c, "dict"), (d, "fused"))) {
       assert(a.keySet == other.keySet,
         s"pair sets differ ($lbl): only-direct=${(a.keySet -- other.keySet).take(5)} only-$lbl=${(other.keySet -- a.keySet).take(5)}")
       a.foreach { case (k, ra) =>
