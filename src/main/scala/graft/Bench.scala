@@ -91,11 +91,17 @@ object Bench {
     // --- JIT warmup: the first execution of the generated stage-S code
     // costs ~2x CPU (measured 2819 vs 1377 core-s on identical runs);
     // prime all kernels with an untimed pipeline at the t2 scale ---
+    // pipeline cfg overrides for A/B bisection (defaults = production)
+    val pipeCfg = graft.pipeline.Pipeline.Cfg(
+      blocking = graft.blocking.Blocking.Cfg(
+        fusedMinhash = sys.env.get("SPARK_GRAFT_FUSED_MINHASH").forall(_ != "0")),
+      scorePath = sys.env.getOrElse("SPARK_GRAFT_SCORE_PATH_PIPE", "fused")
+    )
     locally {
       val (wuDocs, _) = graft.schema.Fixture.ensureWritten(spark, "t2")
       val wuDir = "/tmp/graft_bench_warmup"
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wuDir))
-      graft.pipeline.Pipeline.run(spark, spark.read.parquet(wuDocs), wuDir)
+      graft.pipeline.Pipeline.run(spark, spark.read.parquet(wuDocs), wuDir, pipeCfg)
     }
     cpuNs.set(0); gcMs.set(0); runMs.set(0)
     phaseCpu.clear(); phaseGc.clear()
@@ -109,7 +115,7 @@ object Bench {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(runDir))
 
     val tPipe0 = System.nanoTime()
-    graft.pipeline.Pipeline.run(spark, docs, runDir)
+    graft.pipeline.Pipeline.run(spark, docs, runDir, pipeCfg)
     val e2e = (System.nanoTime() - tPipe0) / 1e9
     results("pir_e2e") = e2e
 

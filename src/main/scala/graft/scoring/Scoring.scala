@@ -338,32 +338,33 @@ object Scoring {
       // gates it on a doc-count/executor-memory threshold when on.
       bcastReps: Boolean = false
   ): DataFrame = {
+    // Two independent pair-grain branches joined on (doc_a, doc_b) —
+    // deliberately NOT one join chain: a single chain would carry the
+    // tids_a/medias_a array payloads through the two later sort-merge
+    // joins, and sorting var-length rows ×8 concurrent chunk jobs was
+    // a measured in-pipeline LOSS (scoring stage 1,333 vs the dict
+    // path's 923 CPU core-s) despite the kernel itself being cheaper.
+    // In this shape each array rides exactly ONE join — the same plan
+    // as the exploded paths minus their Generate + hash aggregate.
     val hint: DataFrame => DataFrame = if (bcastReps) broadcast else identity
-    val full = candidates.select("doc_a", "doc_b")
+    val pairs = candidates.select("doc_a", "doc_b")
+    val textPair = pairs
       .join(hint(txtIds.select(col("doc_id").as("doc_a"), col("tids").as("tids_a"))), "doc_a")
-      .join(hint(med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))), Seq("doc_a"), "left")
       .join(hint(txtIds.select(col("doc_id").as("doc_b"), col("tids").as("tids_b"))), "doc_b")
-      .join(hint(med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))), Seq("doc_b"), "left")
-      .withColumn("medias_a", coalesce(col("medias_a"), emptyMedias))
-      .withColumn("medias_b", coalesce(col("medias_b"), emptyMedias))
-    val scored = full.select(
-      col("doc_a"), col("doc_b"),
-      graft.functions.FusedSpanScore.score(
-        col("tids_a"), col("tids_b"), 0.75, w.jwStrong, w.levStrong, bc).as("r"),
-      mediaScore(w).as("m_score"),
-      when(
-        size(array_union(col("medias_a"), col("medias_b"))) > 0,
-        size(array_intersect(col("medias_a"), col("medias_b"))).cast("double") /
-          size(array_union(col("medias_a"), col("medias_b")))
-      ).otherwise(lit(0.0)).as("media_jaccard")
-    )
-    val joined = scored.select(
-        col("doc_a"), col("doc_b"), col("m_score"), col("media_jaccard"),
+      .select(
+        col("doc_a"), col("doc_b"),
+        graft.functions.FusedSpanScore.score(
+          col("tids_a"), col("tids_b"), 0.75, w.jwStrong, w.levStrong, bc).as("r")
+      )
+      .select(
+        col("doc_a"), col("doc_b"),
         col("r.jw_best").as("jw_best"),
         col("r.lev_best").as("lev_best"),
         col("r.mask_a").as("mask_a"),
         col("r.mask_b").as("mask_b")
       )
+    val joined = mediaPairScores(candidates, med, w)
+      .join(textPair, Seq("doc_a", "doc_b"))
       .withColumn("strong_a", bit_count(col("mask_a")).cast("long"))
       .withColumn("strong_b", bit_count(col("mask_b")).cast("long"))
       .withColumn("strong_min", least(col("strong_a"), col("strong_b")))
