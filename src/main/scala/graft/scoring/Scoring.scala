@@ -363,7 +363,7 @@ object Scoring {
         col("r.mask_a").as("mask_a"),
         col("r.mask_b").as("mask_b")
       )
-    val joined = mediaPairScores(candidates, med, w)
+    val joined = mediaPairScores(candidates, med, w, hint)
       .join(textPair, Seq("doc_a", "doc_b"))
       .withColumn("strong_a", bit_count(col("mask_a")).cast("long"))
       .withColumn("strong_b", bit_count(col("mask_b")).cast("long"))
@@ -448,10 +448,15 @@ object Scoring {
   }
 
   /** Media branch at pair grain (shared by both scoring paths). */
-  private def mediaPairScores(candidates: DataFrame, med: DataFrame, w: Weights): DataFrame = {
+  private def mediaPairScores(
+      candidates: DataFrame,
+      med: DataFrame,
+      w: Weights,
+      hint: DataFrame => DataFrame = identity
+  ): DataFrame = {
     val pairs = candidates.select("doc_a", "doc_b")
-    val medA = med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a"))
-    val medB = med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b"))
+    val medA = hint(med.select(col("doc_id").as("doc_a"), col("medias").as("medias_a")))
+    val medB = hint(med.select(col("doc_id").as("doc_b"), col("medias").as("medias_b")))
     pairs
       .join(medA, Seq("doc_a"), "left")
       .join(medB, Seq("doc_b"), "left")
