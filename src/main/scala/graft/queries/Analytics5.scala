@@ -103,6 +103,26 @@ object Analytics5 {
         threshold = 0.2, nPlanes = 8, dim = 64, tables = 2
       ).select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos6"))),
 
+    // ---- connected components over the q34 similarity graph: the
+    //      PRODUCTION large/small-star CC (cluster/ConnectedComponents,
+    //      identical code to pipeline stage C; min-member-id labels)
+    //      against a DuckDB recursive-CTE min-label propagation on the
+    //      same md5-LSH edges — the cross-engine oracle for the one
+    //      pipeline stage (C) whose operator had spec-only evidence ----
+    "q37_cc_md5" -> ((s, dir) => {
+      val pairs = graft.ops.Similarity.lshCosinePairsMd5(
+        t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("vec")),
+        threshold = 0.2, nPlanes = 8, dim = 64, tables = 2
+      ).select(col("id_a").cast("long"), col("id_b").cast("long"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      val nodes = pairs
+        .select(explode(array(col("id_a"), col("id_b"))).as("doc_id"))
+        .distinct()
+      graft.cluster.ConnectedComponents.run(edges, nodes)
+        .assignments
+        .select(col("doc_id").as("vid"), col("cluster_id").as("comp"))
+    }),
+
     // ---- deterministic distributed Lloyd (cross-engine twin of the
     //      op_kmeans_* machinery: fixed k/iters, lowest-id init,
     //      order-fixed fp folds — DuckDB reproduces the assignments
@@ -127,6 +147,35 @@ object Analytics5 {
   // ---- oracle SQL ----
 
   private val P = TextOps.mersennePrime
+
+  /** Shared CTE chain of the md5-plane LSH pipeline (q34/q37): planes →
+    * sign-bit buckets → bucket-join candidates → exact cosine. RECURSIVE
+    * because q37 appends a recursive min-label CTE; harmless for q34. */
+  private def annLshMd5Ctes: String =
+    """WITH RECURSIVE pl AS (
+           SELECT t, i, list(w ORDER BY j) AS plane
+           FROM (
+             SELECT t, i, j,
+               CAST(CAST(('0x' || substr(md5('pl:' || t || ':' || i || ':' || j), 1, 15)) AS BIGINT) AS DOUBLE)
+                 / 1152921504606846976.0 * 2.0 - 1.0 AS w
+             FROM (SELECT unnest(range(2)) t), (SELECT unnest(range(8)) i), (SELECT unnest(range(64)) j))
+           GROUP BY t, i),
+         v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+               FROM embeddings),
+         buckets AS (
+           SELECT v.id, pl.t,
+             CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(v.v, pl.plane), z -> z[1] * z[2]), (a,b) -> a + b) >= 0
+                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
+           FROM v, pl GROUP BY v.id, pl.t),
+         cand AS (
+           SELECT DISTINCT a.id AS id_a, b.id AS id_b
+           FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
+         sc AS (
+           SELECT c.id_a, c.id_b,
+             list_reduce(list_transform(list_zip(va.v, vb.v), z -> z[1] * z[2]), (a,b) -> a + b) /
+               (sqrt(list_reduce(list_transform(va.v, x -> x * x), (a,b) -> a + b)) *
+                sqrt(list_reduce(list_transform(vb.v, x -> x * x), (a,b) -> a + b))) AS cos
+           FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b)"""
 
   /** normText + md5 shingle-hash list, shared by the q32/q33 oracles
     * (mirrors TextOps.normText/charShingles: shingles of n chars,
@@ -273,31 +322,22 @@ object Analytics5 {
     "q32_minhash_md5" -> minhashOracle,
     "q33_fingerprint_md5" -> fingerprintOracle,
     "q34_ann_lsh_md5" ->
-      """WITH pl AS (
-           SELECT t, i, list(w ORDER BY j) AS plane
-           FROM (
-             SELECT t, i, j,
-               CAST(CAST(('0x' || substr(md5('pl:' || t || ':' || i || ':' || j), 1, 15)) AS BIGINT) AS DOUBLE)
-                 / 1152921504606846976.0 * 2.0 - 1.0 AS w
-             FROM (SELECT unnest(range(2)) t), (SELECT unnest(range(8)) i), (SELECT unnest(range(64)) j))
-           GROUP BY t, i),
-         v AS (SELECT vec_id AS id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-               FROM embeddings),
-         buckets AS (
-           SELECT v.id, pl.t,
-             CAST(sum(CASE WHEN list_reduce(list_transform(list_zip(v.v, pl.plane), z -> z[1] * z[2]), (a,b) -> a + b) >= 0
-                 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS BIGINT) AS bucket
-           FROM v, pl GROUP BY v.id, pl.t),
-         cand AS (
-           SELECT DISTINCT a.id AS id_a, b.id AS id_b
-           FROM buckets a JOIN buckets b ON a.t = b.t AND a.bucket = b.bucket AND a.id < b.id),
-         sc AS (
-           SELECT c.id_a, c.id_b,
-             list_reduce(list_transform(list_zip(va.v, vb.v), z -> z[1] * z[2]), (a,b) -> a + b) /
-               (sqrt(list_reduce(list_transform(va.v, x -> x * x), (a,b) -> a + b)) *
-                sqrt(list_reduce(list_transform(vb.v, x -> x * x), (a,b) -> a + b))) AS cos
-           FROM cand c JOIN v va ON va.id = c.id_a JOIN v vb ON vb.id = c.id_b)
-         SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sc WHERE cos >= 0.2""",
+      (annLshMd5Ctes + "\n         SELECT id_a, id_b, round(cos, 6) AS cos6 FROM sc WHERE cos >= 0.2"),
+
+    // connected components over the q34 edges: recursive min-label
+    // propagation to fixpoint — min id reachable from each node IS the
+    // component's min-member label the large/small-star loop emits
+    "q37_cc_md5" ->
+      (annLshMd5Ctes + """,
+         e AS (SELECT CAST(id_a AS BIGINT) AS src, CAST(id_b AS BIGINT) AS dst FROM sc WHERE cos >= 0.2),
+         n AS (SELECT DISTINCT src AS id FROM e UNION SELECT DISTINCT dst FROM e),
+         sym AS (SELECT src, dst FROM e UNION SELECT dst AS src, src AS dst FROM e),
+         walk(id, lbl) AS (
+           SELECT id, id FROM n
+           UNION
+           SELECT s.dst AS id, w.lbl FROM walk w JOIN sym s ON s.src = w.id
+         )
+         SELECT id AS vid, min(lbl) AS comp FROM walk GROUP BY id"""),
     "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64),
     "q36_behavior_segments" -> {
       val tplRows = graft.ops.Behavioral.templates
