@@ -27,13 +27,26 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object JwDict {
 
-  private val cache = new java.util.concurrent.ConcurrentHashMap[Long, Array[UTF8String]]()
+  private val cache =
+    new java.util.concurrent.ConcurrentHashMap[Long, java.lang.ref.SoftReference[Array[UTF8String]]]()
 
   /** Per-JVM memoized UTF8String view of the broadcast dictionary
     * (UTF8String.fromBytes is zero-copy; the conversion happens once
-    * per executor, not per row). */
-  def arr(bc: Broadcast[Array[Array[Byte]]]): Array[UTF8String] =
-    cache.computeIfAbsent(bc.id, _ => bc.value.map(UTF8String.fromBytes))
+    * per executor, not per row). Soft references: a long-lived JVM
+    * running many pipelines (bench, test suite, a streaming driver)
+    * would otherwise pin every run's ~200 MB dictionary view forever —
+    * under heap pressure stale views are collected and rebuilt on
+    * demand (rebuild is idempotent and races are benign). */
+  def arr(bc: Broadcast[Array[Array[Byte]]]): Array[UTF8String] = {
+    val ref = cache.get(bc.id)
+    val hit = if (ref == null) null else ref.get()
+    if (hit != null) hit
+    else {
+      val built = bc.value.map(UTF8String.fromBytes)
+      cache.put(bc.id, new java.lang.ref.SoftReference(built))
+      built
+    }
+  }
 
   /** Thresholded Jaro-Winkler on dict ids; equal ids are equal texts
     * (dense ids are collision-free by construction) → exact 1.0 without
