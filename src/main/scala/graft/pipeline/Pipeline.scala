@@ -124,13 +124,17 @@ object Pipeline {
       } else java.nio.file.Files.writeString(marker, idMode)
     }
 
-    def stage(name: String, metrics: DataFrame => Seq[(String, Double)] = _ => Nil)(
+    def stage(
+        name: String,
+        metrics: DataFrame => Seq[(String, Double)] = _ => Nil,
+        partitionCols: Seq[String] = Nil
+    )(
         compute: => DataFrame
     ): DataFrame = {
       val path = s"$runDir/$name"
       if (!done(path)) {
         val t0 = System.nanoTime()
-        compute.write.mode("overwrite").parquet(path)
+        compute.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
         val out = spark.read.parquet(path)
         val wallMs = (System.nanoTime() - t0) / 1e6
         Lineage.writeLineage(out, name, runId, runDir)
@@ -177,6 +181,10 @@ object Pipeline {
           .withColumnRenamed(s"${c}__s", c)
       }
 
+    // scoring-chunk partition column; the modulus rides in the name so
+    // the checkpoint layout self-describes (see the candidates stage)
+    val chunkCol = s"chunk_${cfg.scoreChunks}"
+
     // Stage B — key table materialized once (lazily, only when the
     // candidates checkpoint is absent), shared by the pair join and the
     // drop-accounting metrics.
@@ -203,10 +211,24 @@ object Pipeline {
           "dropped_blocks" -> drops.getDouble(0),
           "dropped_pairs_est" -> drops.getDouble(1)
         )
-      }
+      },
+      // directory-partition by scoring chunk: each chunk job's filter
+      // becomes partition PRUNING instead of a pmod predicate parquet
+      // cannot push down — without this every one of the scoreChunks
+      // jobs decoded the FULL candidate table (8× redundant scan
+      // decode at bench scale). The modulus is baked into the COLUMN
+      // NAME (chunk_<scoreChunks>), so the layout self-describes
+      // atomically with the data: a resume under a different
+      // scoreChunks simply doesn't find its column and falls back to
+      // the always-correct pmod-on-salt filter (the chunk dirs
+      // partition the same rows, so scanning all of them with the
+      // pmod predicate is layout-independent).
+      partitionCols = Seq(chunkCol)
     ) {
       Blocking.candidatesFromKeys(keys, cfg.blocking)
+        .withColumn(chunkCol, pmod(col("salt"), lit(cfg.scoreChunks)).cast("int"))
     }
+    val chunkPruned = candidates.columns.contains(chunkCol)
 
     // Stage S0 — doc representations, checkpointed once and shared by
     // every scoring chunk (recomputing them per chunk would re-scan the
@@ -277,7 +299,9 @@ object Pipeline {
         scala.concurrent.Future {
           val cpath = s"$scoredPath/chunk=$i"
           if (!done(cpath)) {
-            val chunk = candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
+            val chunk =
+              if (chunkPruned) candidates.where(col(chunkCol) === i)
+              else candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
             (cfg.scorePath match {
               case "fused" =>
                 val (txtIds, bc) = dictSide.get
@@ -336,7 +360,7 @@ object Pipeline {
 
     graft.util.PhaseTracker.set("other")
     Result(
-      mapBack(candidates, Seq("doc_a", "doc_b")),
+      mapBack(candidates.drop(chunkCol), Seq("doc_a", "doc_b")),
       mapBack(scored, Seq("doc_a", "doc_b")),
       clusters,
       ccIters
