@@ -88,6 +88,19 @@ object Dedup {
       .select("id_a", "id_b", "jaccard")
   }
 
+  /** md5-arith band keys in [[graft.blocking.Blocking]]'s key-table
+    * shape (doc_id, key_kind, block_key) — key_kind = "b<band>" zero-
+    * padded so string order equals numeric band order in every engine.
+    * Feeds the PRODUCTION candidatesFromKeys (census, cap, witness
+    * dedup) for its cross-engine oracle (Analytics5.q38). */
+  def blockingKeysMd5(docs: DataFrame, cfg: MinHashCfg = MinHashCfg()): DataFrame =
+    bandedSigs(docs, cfg, md5 = true)
+      .select(
+        col("id").as("doc_id"),
+        format_string("b%02d", col("band")).as("key_kind"),
+        col("band_key").as("block_key")
+      )
+
   /** Transitive near-dup groups: (id, group_id = min member id). */
   def nearDupGroups(docs: DataFrame, cfg: MinHashCfg = MinHashCfg()): DataFrame = {
     val edges = nearDupPairs(docs, cfg).select(col("id_a").as("src"), col("id_b").as("dst"))

@@ -137,6 +137,20 @@ object Analytics5 {
         k = 3, iters = 3
       )),
 
+    // ---- PRODUCTION blocking machinery (census → block cap → salted
+    //      self-join → canonical witness dedup; Blocking
+    //      .candidatesFromKeys, identical code to pipeline stage B) on
+    //      md5-arith band keys — DuckDB recomputes the capped pair set
+    //      AND the min-(key_kind, block_key) witness exactly. Cap 10
+    //      engages on the fixture's duplicate clusters, so the
+    //      dropped-block gate is exercised, not just plumbed ----
+    "q38_blocking_md5" -> ((s, dir) => {
+      val keys = graft.ops.Dedup.blockingKeysMd5(docsStr(s, dir), q32Cfg)
+      graft.blocking.Blocking
+        .candidatesFromKeys(keys, graft.blocking.Blocking.Cfg(maxBlockSize = q38Cap))
+        .select(col("doc_a"), col("doc_b"), col("key_kind"), col("block_key"))
+    }),
+
     // ---- behavioral-segment engine (behavioral_profiling.py:157-360):
     //      template segments over per-user signals, share × efficacy
     //      attribution, rank + budget allocation ----
@@ -199,10 +213,10 @@ object Analytics5 {
        FROM t)"""
   }
 
-  /** q32 oracle: the identical md5-shingle MinHash/band/verify pipeline
-    * in DuckDB — same affine constants, same arithmetic band keys. */
-  private def minhashOracle: String = {
-    val cfg = q32Cfg // same shingleN/k/bands/threshold as the q32 query
+  /** md5-shingle MinHash signature + arithmetic band keys as CTEs up to
+    * `banded(id, hs, band, bk)` — same affine constants and band-key
+    * arithmetic as TextOps; shared by the q32 and q38 oracles. */
+  private def md5BandedCtes(cfg: graft.ops.Dedup.MinHashCfg): String = {
     val ab = TextOps.affineConsts(cfg.k, cfg.seed)
     val mins = ab
       .map { case (a, b) => s"list_min(list_transform(hs, h -> ((h % $P) * $a + $b) % $P))" }
@@ -215,7 +229,15 @@ object Analytics5 {
      sig AS (SELECT id, hs, $mins AS mh FROM sh WHERE len(hs) > 0),
      banded AS (
        SELECT id, hs, b.j AS band, $bandKey AS bk
-       FROM sig, (SELECT unnest(range(${cfg.bands})) AS j) b),
+       FROM sig, (SELECT unnest(range(${cfg.bands})) AS j) b)"""
+  }
+
+  /** q32 oracle: the identical md5-shingle MinHash/band/verify pipeline
+    * in DuckDB — same affine constants, same arithmetic band keys. */
+  private def minhashOracle: String = {
+    val cfg = q32Cfg // same shingleN/k/bands/threshold as the q32 query
+    md5BandedCtes(cfg) +
+      s""",
      cand AS (
        SELECT a.id AS id_a, b.id AS id_b, any_value(a.hs) AS ha, any_value(b.hs) AS hb
        FROM banded a JOIN banded b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id
@@ -225,6 +247,32 @@ object Analytics5 {
      FROM cand
      WHERE CAST(len(list_intersect(ha, hb)) AS DOUBLE) / len(list_distinct(ha || hb)) >= ${cfg.jaccardThreshold}"""
   }
+
+  /** q38's block-size cap: small enough to engage on the fixture's
+    * duplicate clusters (both engines drop the same blocks exactly). */
+  private val q38Cap = 10
+
+  /** q38 oracle: census → cap → pair self-join → canonical witness
+    * (first (key_kind, block_key) per pair — Spark's min(struct) and
+    * this window-rank order identically: band strings are zero-padded
+    * and keys are non-negative). */
+  private def blockingOracle: String =
+    md5BandedCtes(q32Cfg) +
+      s""",
+     census AS (SELECT band, bk, count(*) AS n FROM banded GROUP BY 1, 2),
+     kept AS (
+       SELECT b.id, b.band, b.bk FROM banded b
+       JOIN census c ON b.band = c.band AND b.bk = c.bk
+       WHERE c.n <= $q38Cap),
+     pairs AS (
+       SELECT a.id AS doc_a, b.id AS doc_b,
+         'b' || lpad(CAST(a.band AS VARCHAR), 2, '0') AS key_kind, a.bk AS block_key
+       FROM kept a JOIN kept b ON a.band = b.band AND a.bk = b.bk AND a.id < b.id),
+     w AS (
+       SELECT doc_a, doc_b, key_kind, block_key,
+         row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY key_kind, block_key) AS rn
+       FROM pairs)
+     SELECT doc_a, doc_b, key_kind, block_key FROM w WHERE rn = 1"""
 
   /** q33 oracle: identical winnowing — window-of-8 minima over the
     * md5 shingle-hash list, distinct; complete windows only, short
@@ -339,6 +387,7 @@ object Analytics5 {
          )
          SELECT id AS vid, min(lbl) AS comp FROM walk GROUP BY id"""),
     "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64),
+    "q38_blocking_md5" -> blockingOracle,
     "q36_behavior_segments" -> {
       val tplRows = graft.ops.Behavioral.templates
         .map { case (s, c, e, r) => s"('$s', '$c', $e, $r)" }.mkString(",\n           ")
