@@ -151,6 +151,38 @@ object Analytics5 {
         .select(col("doc_a"), col("doc_b"), col("key_kind"), col("block_key"))
     }),
 
+    // ---- the Levenshtein rescue-band arithmetic vs DuckDB, on every
+    //      pair of a deterministic md5 sample of normalized doc texts
+    //      (1 − lev/maxlen, the exact stage-S rescue similarity).
+    //      NOTE a Jaro-Winkler twin was ATTEMPTED AND REJECTED:
+    //      DuckDB's jaro_winkler_similarity (RapidFuzz-derived)
+    //      deviates from the published greedy definition — e.g.
+    //      'row data hash ' vs 'column key has' scores 0.563492 there
+    //      but 0.535714 under Winkler 1990's greedy matching (their
+    //      flag assignment counts 2 transpositions where the greedy
+    //      order yields 3; ~37% of fixture pairs differ). Our kernel
+    //      matches the published definition (JaroWinklerSpec golden
+    //      values + 200k-pair SWAR differential), so conforming to
+    //      DuckDB here would be wrong, not verification. ----
+    "q39_lev_rescue" -> ((s, dir) => {
+      val nt = docsStr(s, dir)
+        .select(col("id"), TextOps.normText(col("text")).as("nt"))
+        .where(length(col("nt")) > 0)
+        .where(pmod(conv(substring(md5(col("id")), 1, 15), 16, 10).cast("long"), lit(29)) === 0)
+      val a = nt.select(col("id").as("id_a"), col("nt").as("ta"))
+      val b = nt.select(col("id").as("id_b"), col("nt").as("tb"))
+      a.crossJoin(b)
+        .where(col("id_a") < col("id_b"))
+        .select(
+          col("id_a"), col("id_b"),
+          round(
+            lit(1.0) - levenshtein(col("ta"), col("tb")).cast("double") /
+              greatest(length(col("ta")), length(col("tb")), lit(1)),
+            6
+          ).as("lev6")
+        )
+    }),
+
     // ---- behavioral-segment engine (behavioral_profiling.py:157-360):
     //      template segments over per-user signals, share × efficacy
     //      attribution, rank + budget allocation ----
@@ -388,6 +420,18 @@ object Analytics5 {
          SELECT id AS vid, min(lbl) AS comp FROM walk GROUP BY id"""),
     "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64),
     "q38_blocking_md5" -> blockingOracle,
+    "q39_lev_rescue" ->
+      """WITH t AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS nt
+           FROM documents),
+         smp AS (
+           SELECT id, nt FROM t
+           WHERE len(nt) > 0
+             AND CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) % 29 = 0)
+         SELECT a.id AS id_a, b.id AS id_b,
+           round(1.0 - CAST(levenshtein(a.nt, b.nt) AS DOUBLE) / greatest(len(a.nt), len(b.nt), 1), 6) AS lev6
+         FROM smp a JOIN smp b ON a.id < b.id""",
     "q36_behavior_segments" -> {
       val tplRows = graft.ops.Behavioral.templates
         .map { case (s, c, e, r) => s"('$s', '$c', $e, $r)" }.mkString(",\n           ")
