@@ -138,9 +138,19 @@ object Dedup {
   }
 
   /** 64-bit SimHash per doc from whitespace tokens (xxhash64 word
-    * hashes — the fast production path). Output: (id, simhash). */
-  def simhash(docs0: DataFrame): DataFrame =
-    simhashFromHashes(tokens(docs0).select(col("id"), xxhash64(col("w")).as("h")), 64, strictSign = true)
+    * hashes — the fast production path). Output: (id, simhash).
+    * `fused` (default): one compiled pass per doc
+    * (functions/SimHashSig.scala) — token scan, word hashes and the
+    * 64 vote counters in registers instead of 64 aggregate
+    * expressions per exploded token row. Bit-identical (integer
+    * votes are order-independent; SimHashFusedSpec differential). */
+  def simhash(docs0: DataFrame, fused: Boolean = true): DataFrame =
+    if (fused)
+      graft.util.Parallelism.ensure(docs0)
+        .select(col("id"), graft.functions.SimHashSig.simhash64(TextOps.normText(col("text"))).as("simhash"))
+        .where(col("simhash").isNotNull)
+    else
+      simhashFromHashes(tokens(docs0).select(col("id"), xxhash64(col("w")).as("h")), 64, strictSign = true)
 
   /** 60-bit SimHash with md5-derived word hashes — md5 is available in
     * every engine, so this variant is cross-engine verifiable (the
