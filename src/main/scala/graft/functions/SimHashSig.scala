@@ -78,10 +78,15 @@ case class SimHashSigExpr(child: Expression) extends UnaryExpression {
     SimHashKernel.simhash64(input.asInstanceOf[UTF8String])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, c =>
-      s"""Object r = graft.functions.SimHashKernel.simhash64($c);
-         |if (r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((java.lang.Long) r).longValue(); }
-         |""".stripMargin)
+    nullSafeCodeGen(ctx, ev, c => {
+      // freshName: a fixed local would collide (janino duplicate-variable
+      // error → silent interpreted fallback) if the expression appears
+      // twice in one generated method with a non-nullable child
+      val r = ctx.freshName("simhashRes")
+      s"""Object $r = graft.functions.SimHashKernel.simhash64($c);
+         |if ($r == null) { ${ev.isNull} = true; } else { ${ev.value} = ((java.lang.Long) $r).longValue(); }
+         |""".stripMargin
+    })
 
   override protected def withNewChildInternal(newChild: Expression): Expression =
     copy(child = newChild)

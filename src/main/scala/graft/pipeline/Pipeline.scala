@@ -86,7 +86,22 @@ object Pipeline {
       //    pass buys nothing when spans rarely repeat verbatim; kept
       //    for corpora with heavy exact-span repetition).
       // All four are value-identical (ScoringDedupSpec).
-      scorePath: String = "fused"
+      scorePath: String = "fused",
+      // byte budget for the span-text dictionary broadcast that the
+      // "fused"/"dict" paths depend on. The dictionary is the ONE
+      // broadcast in the pipeline that grows with corpus size (distinct
+      // span texts ~ corpus size; at 100 TB plausibly billions of
+      // entries), so an ungated collect is a guaranteed driver/executor
+      // OOM at scale. One aggregate over the checkpointed text_dict
+      // estimates the in-memory footprint (utf-8 bytes + per-entry JVM
+      // overhead); above the budget the run falls back to
+      // scorePath="direct" (inline string kernels, no dictionary, no
+      // memory bound — value-identical per ScoringDedupSpec), logs the
+      // decision, and records it in the metrics table as
+      // dict_fallback=1. Same gate pattern as broadcastRepsMaxDocs.
+      // Default 2 GiB ≈ a third of a 6 GiB executor heap; bench sf0.1
+      // uses ~200 MB.
+      dictMaxBytes: Long = 2L << 30
   )
 
   final case class Result(
@@ -244,20 +259,40 @@ object Pipeline {
     //  - pair: distinct-text-pair score table, left-joined per chunk.
     require(Set("fused", "dict", "direct", "pair").contains(cfg.scorePath),
       s"unknown scorePath '${cfg.scorePath}'")
+    // dictionary-size gate (see Cfg.dictMaxBytes): estimate the
+    // broadcast footprint from the checkpointed dictionary BEFORE
+    // collecting it; over budget → the unbounded direct path. The
+    // estimate is one pruned two-column aggregate (utf-8 bytes +
+    // 32 B/entry for the byte-array object header and table slot).
+    var dictBcastBytes = 0L
+    val wantDict = cfg.scorePath == "dict" || cfg.scorePath == "fused"
     val dictSide =
-      if (cfg.scorePath == "dict" || cfg.scorePath == "fused") {
+      if (wantDict) {
         val dict = stage("text_dict")(Scoring.textDictDense(textRep))
-        val txtIds = stage("text_ids")(Scoring.textIdsRep(textRep, dict))
-        Some((txtIds, Scoring.broadcastDict(dict)))
+        val g = dict.agg(
+          coalesce(sum(octet_length(col("t"))), lit(0L)).as("b"),
+          count(lit(1)).as("n")
+        ).head()
+        dictBcastBytes = g.getLong(0) + 32L * g.getLong(1)
+        if (dictBcastBytes <= cfg.dictMaxBytes) {
+          val txtIds = stage("text_ids")(Scoring.textIdsRep(textRep, dict))
+          Some((txtIds, Scoring.broadcastDict(dict)))
+        } else {
+          System.err.println(
+            f"[pipeline] span-text dictionary ≈ ${dictBcastBytes / 1e6}%.0f MB exceeds " +
+              f"dictMaxBytes=${cfg.dictMaxBytes / 1e6}%.0f MB — falling back to scorePath=direct")
+          None
+        }
       } else None
+    val scorePath = if (wantDict && dictSide.isEmpty) "direct" else cfg.scorePath
     val pairScores =
-      if (cfg.scorePath == "pair")
+      if (scorePath == "pair")
         Some(stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
       else None
 
     // one count on the checkpointed rep decides the fused path's rep
     // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
-    val bcastReps = cfg.scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
+    val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
       dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
 
     // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
@@ -302,7 +337,7 @@ object Pipeline {
             val chunk =
               if (chunkPruned) candidates.where(col(chunkCol) === i)
               else candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
-            (cfg.scorePath match {
+            (scorePath match {
               case "fused" =>
                 val (txtIds, bc) = dictSide.get
                 Scoring.scoreWithRepsFused(chunk, txtIds, mediaRep, cfg.weights, bc, bcastReps)
@@ -328,6 +363,10 @@ object Pipeline {
       Lineage.writeMetrics(spark, "scored_pairs", runId, Seq(
         "scored_pairs" -> out.count().toDouble,
         "matched_pairs" -> out.where(col("is_match")).count().toDouble,
+        // dictionary-gate audit trail: the estimated broadcast bytes and
+        // whether the run was forced off the fused/dict path
+        "dict_bcast_bytes" -> dictBcastBytes.toDouble,
+        "dict_fallback" -> (if (wantDict && dictSide.isEmpty) 1.0 else 0.0),
         "wall_ms" -> wallMs
       ), runDir)
       new java.io.File(s"$scoredPath/_SUCCESS").createNewFile()
@@ -359,8 +398,14 @@ object Pipeline {
     }
 
     graft.util.PhaseTracker.set("other")
+    // drop EVERY chunk_<n> column, not just the current modulus: a
+    // candidates checkpoint resumed under a different scoreChunks
+    // carries its writer's chunk_<old> partition column, which would
+    // otherwise leak into Result.candidates and change its schema
+    // between a fresh run and a resume
+    val chunkCols = candidates.columns.filter(_.matches("chunk_\\d+"))
     Result(
-      mapBack(candidates.drop(chunkCol), Seq("doc_a", "doc_b")),
+      mapBack(candidates.drop(chunkCols: _*), Seq("doc_a", "doc_b")),
       mapBack(scored, Seq("doc_a", "doc_b")),
       clusters,
       ccIters

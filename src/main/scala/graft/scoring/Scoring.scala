@@ -127,16 +127,13 @@ object Scoring {
   /** Score candidate pairs. `candidates`: (doc_a, doc_b, ...);
     * `docs`: input-hint shape. Output: ScoredPair schema.
     *
-    * Two independent branches joined at PAIR granularity:
-    *  - text: exploded span pairs (two Generate nodes, no shuffle) →
-    *    one hash aggregate back to pair grain. Rows carry only
-    *    (ids, span index, span text) — pair-constant payload is NOT
-    *    duplicated across the na×nb exploded stream (measured: the
-    *    duplicated media columns were the stage-S memory-bandwidth
-    *    ceiling at 32 threads, ~170 M copied rows at bench scale).
-    *  - media: computed once per pair, joined back on (doc_a, doc_b).
-    *    The aggregate output is already hash-partitioned on those keys,
-    *    so only the (much smaller) media side shuffles. */
+    * Convenience wrapper that builds the doc representations inline and
+    * delegates to [[scoreWithRepsFused]]: the whole per-pair text score
+    * (best JW, rescue-Levenshtein, strong-span masks) is ONE codegen'd
+    * expression over dict-id arrays — no Generate, no aggregate, one
+    * row per pair end to end (see scoreWithRepsFused's doc for the
+    * plan shape). The pipeline instead checkpoints the reps and calls
+    * scoreWithRepsFused directly so resume-able chunks share them. */
   def score(candidates: DataFrame, docs: DataFrame, w: Weights = Weights()): DataFrame = {
     val txt = textRep(docs).localCheckpoint(true)
     val dict = textDictDense(txt).localCheckpoint(true)

