@@ -27,6 +27,14 @@ object Bench {
       // one scan split
       .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.files.openCostInBytes", "8m")
+      // DRAM-pressure A/B knobs (defaults = Spark defaults): shuffle/IO
+      // codec trades CPU for bytes moved (lz4 fast / zstd dense), and
+      // the checkpoint parquet codec sets the scored-pairs encode cost —
+      // the two biggest bandwidth levers the round-4 artifacts point at
+      .config("spark.io.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
+      .config("spark.sql.parquet.compression.codec",
+        sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -77,6 +85,13 @@ object Bench {
     val hostBusy0 = scala.util.Try(procStatBusy()).getOrElse(-1.0)
     val selfCpu0 = procSelfCpu()
     val load0 = loadAvg()
+    // direct DRAM-bandwidth probes bracketing the run: the ONE resource
+    // a noisy neighbour VM contends for that in-VM CPU counters cannot
+    // see. A run whose probes read far below the machine's healthy
+    // figure (BASELINE.md records it) is degraded by its own artifact —
+    // replaces the q1 "canary", which three archived slow runs proved
+    // blind (cache-resident queries never touch DRAM).
+    val memBw0 = graft.util.MemBw.probeGBps()
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String)(body: => Unit): Double = {
@@ -149,10 +164,13 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + (math.round(v.get / div * 1000) / 1000.0) }
         .mkString("{", ",", "}")
     val hostBusy1 = scala.util.Try(procStatBusy()).getOrElse(-1.0)
+    val memBw1 = graft.util.MemBw.probeGBps()
     val env =
       s""""max_heap_gb":${math.round(Runtime.getRuntime.maxMemory / 1e7) / 100.0},""" +
         s""""host_busy_cpu_s":${math.round((hostBusy1 - hostBusy0) * 10) / 10.0},""" +
         s""""proc_cpu_s":${math.round((procSelfCpu() - selfCpu0) * 10) / 10.0},""" +
+        s""""mem_bw_gbps_start":${math.round(memBw0 * 100) / 100.0},""" +
+        s""""mem_bw_gbps_end":${math.round(memBw1 * 100) / 100.0},""" +
         s""""load_avg_start":$load0,"load_avg_end":${loadAvg()}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},$env}"""
