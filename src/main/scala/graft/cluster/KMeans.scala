@@ -213,6 +213,43 @@ object KMeans {
       }
   }
 
+  /** Deterministic DISTRIBUTED per-group z-score (population σ) with
+    * order-fixed floating-point folds — the cross-engine-reproducible
+    * twin of [[zScoreLocal]], feeding [[lloydDeterministic]] on the
+    * oracled op_kmeans_households path (reference normalization:
+    * household_inference.py:321-326). Per (group_id, pos): μ and σ are
+    * item_id-ordered left folds divided by n, so a DuckDB
+    * `list_reduce(list(x ORDER BY item_id), ...)` reproduces every bit;
+    * constant dimensions (σ = 0) map to 0 like zScoreLocal.
+    *
+    * Input/output: (group_id, item_id, features: array<double>). Two
+    * aggregate shuffles on (group_id, pos) + one rebuild aggregate on
+    * (group_id, item_id) — all keyed on group-sized grains, so at scale
+    * this parallelizes over groups×dims like the Lloyd update itself. */
+  def zScoreDeterministic(pts: DataFrame): DataFrame = {
+    def fold(c: org.apache.spark.sql.Column) = aggregate(
+      sort_array(collect_list(struct(col("item_id"), c.as("v")))),
+      lit(0.0),
+      (acc, s) => acc + s.getField("v")
+    )
+    val fx = pts.select(
+      col("group_id"), col("item_id"),
+      posexplode(col("features")).as(Seq("pos", "x"))
+    )
+    val mu = fx.groupBy("group_id", "pos")
+      .agg((fold(col("x")) / count(lit(1))).as("mu"))
+    val fxm = fx.join(mu, Seq("group_id", "pos"))
+    val sd = fxm.groupBy("group_id", "pos")
+      .agg(sqrt(fold((col("x") - col("mu")) * (col("x") - col("mu"))) / count(lit(1)).cast("double")).as("sd"))
+    fxm.join(sd, Seq("group_id", "pos"))
+      .withColumn("z", when(col("sd") > 0, (col("x") - col("mu")) / col("sd")).otherwise(lit(0.0)))
+      .groupBy("group_id", "item_id")
+      .agg(
+        transform(sort_array(collect_list(struct(col("pos"), col("z")))), s => s.getField("z"))
+          .as("features")
+      )
+  }
+
   /** Fully-deterministic DISTRIBUTED Lloyd with fixed k, fixed
     * iteration count, and lowest-item_id init — the cross-engine oracle
     * twin of [[clusterGroups]] (which stays silhouette-selected and

@@ -80,48 +80,54 @@ object Analytics4 {
       )
     }),
 
-    // ---- per-group silhouette-selected K-means over embeddings
-    //      (group = label; rows-only — Lloyd isn't SQL; KMeansSpec
-    //      carries planted-blob oracles) ----
+    // ---- per-group K-means over embeddings, DETERMINISTIC distributed
+    //      Lloyd (fixed k, lowest-id init, order-fixed fp folds — the
+    //      q35 recipe applied to the op path so DuckDB reproduces the
+    //      assignments; silhouette-selected clusterGroups stays the
+    //      production API, oracled analytically in KMeansSpec). The
+    //      output is all-integer: counts + an assignment checksum
+    //      Σ item_id·(cluster+1), so any fp divergence that flipped a
+    //      single assignment would break the cross-engine match ----
     "op_kmeans_groups" -> ((s, dir) => {
-      import s.implicits._
       val pts = t(s, dir, "embeddings")
         .select(
-          col("label").cast("string").as("group_id"),
-          col("vec_id").cast("string").as("item_id"),
+          col("label").as("group_id"),
+          col("vec_id").as("item_id"),
           transform(col("embedding"), _.cast("double")).as("features")
         )
-        .as[graft.cluster.KMeans.GroupedPoint]
-      graft.cluster.KMeans.clusterGroups(pts).toDF()
-        .groupBy("group_id", "k")
+      graft.cluster.KMeans.lloydDeterministic(pts, k = 4, iters = 2)
+        .groupBy("group_id")
         .agg(
           count(lit(1)).as("n_points"),
           countDistinct("cluster").as("n_clusters_used"),
-          round(max("silhouette"), 6).as("silhouette")
+          sum(col("item_id") * (col("cluster") + lit(1L))).as("assign_checksum")
         )
     }),
 
     // ---- the reference's core per-account clustering: weighted
-    //      z-scored behavior features, K-means per household
-    //      (household_inference.py:71-127). Rows-only; feature build +
-    //      fit have analytic spec oracles ----
+    //      behavior features → per-household z-score → K-means
+    //      (household_inference.py:71-127), DETERMINISTIC end to end so
+    //      DuckDB recomputes features, normalization AND Lloyd exactly.
+    //      Features are rounded to 6 digits on BOTH engines before the
+    //      arithmetic: sin/cos/log1p differ across engines at ulp, and
+    //      q27's green oracle proves this value set rounds identically;
+    //      everything after the rounding is +,−,×,÷,√ with order-fixed
+    //      folds (zScoreDeterministic / lloydDeterministic) ----
     "op_kmeans_households" -> ((s, dir) => {
-      import s.implicits._
-      val pts = graft.ops.Features.userFeatures(t(s, dir, "events"))
+      val feats = graft.ops.Features.userFeatures(t(s, dir, "events"))
         .select(
-          pmod(col("user_id"), lit(50)).cast("string").as("group_id"),
-          col("user_id").cast("string").as("item_id"),
-          col("features")
+          pmod(col("user_id"), lit(50)).as("group_id"),
+          col("user_id").as("item_id"),
+          // + 0.0 normalizes IEEE −0.0 from the rounded cos encoding
+          transform(col("features"), x => round(x, 6) + lit(0.0)).as("features")
         )
-        .as[graft.cluster.KMeans.GroupedPoint]
-      graft.cluster.KMeans
-        .clusterGroups(pts, graft.cluster.KMeans.Cfg(zScore = true))
-        .toDF()
+      val z = graft.cluster.KMeans.zScoreDeterministic(feats)
+      graft.cluster.KMeans.lloydDeterministic(z, k = 3, iters = 2)
         .groupBy("group_id")
         .agg(
           count(lit(1)).as("n_members"),
-          max("k").as("k"),
-          round(max("silhouette"), 6).as("silhouette")
+          countDistinct("cluster").as("n_clusters_used"),
+          sum(col("item_id") * (col("cluster") + lit(1L))).as("assign_checksum")
         )
     }),
 
@@ -214,7 +220,64 @@ object Analytics4 {
      WHERE bit_count(xor(a.sketch, b.sketch)) <= 3"""
   }
 
+  /** op_kmeans_groups oracle: deterministic Lloyd (LloydSql chain) over
+    * raw embeddings, per-group integer summary. */
+  private val kmeansGroupsOracle: String =
+    s"""WITH pts AS (
+       SELECT label AS group_id, vec_id AS item_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+       FROM embeddings),
+     ${LloydSql.chain(k = 4, iters = 2, dim = 64)}
+     SELECT group_id, count(*) AS n_points, count(DISTINCT cluster) AS n_clusters_used,
+       CAST(sum(item_id * (cluster + 1)) AS BIGINT) AS assign_checksum
+     FROM a2 GROUP BY group_id"""
+
+  /** op_kmeans_households oracle: the full reference chain — weighted
+    * feature build (round-6 on both engines; q27 proves the rounding
+    * agrees), order-fixed per-group z-score, deterministic Lloyd. */
+  private val kmeansHouseholdsOracle: String =
+    s"""WITH f0 AS (
+       SELECT user_id, count(*) AS n,
+         sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_click,
+         sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS n_error,
+         sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS n_purchase,
+         sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS n_signup,
+         sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS n_view
+       FROM events GROUP BY user_id),
+     peak AS (SELECT user_id, h FROM (
+       SELECT user_id, extract(hour FROM ts) AS h,
+         row_number() OVER (PARTITION BY user_id ORDER BY count(*) DESC, h) AS rk
+       FROM events GROUP BY user_id, h) WHERE rk = 1),
+     feat AS (
+       SELECT user_id % 50 AS group_id, user_id AS item_id,
+         [round(sin(h * (2 * pi() / 24)) * 1.5, 6) + 0.0,
+          round(cos(h * (2 * pi() / 24)) * 1.5, 6) + 0.0,
+          round(ln(1 + n) * 1.2, 6) + 0.0,
+          round(CAST(n_click AS DOUBLE) / n, 6) + 0.0,
+          round(CAST(n_error AS DOUBLE) / n, 6) + 0.0,
+          round(CAST(n_purchase AS DOUBLE) / n, 6) + 0.0,
+          round(CAST(n_signup AS DOUBLE) / n, 6) + 0.0,
+          round(CAST(n_view AS DOUBLE) / n, 6) + 0.0] AS f
+       FROM f0 JOIN peak USING (user_id)),
+     fx AS (SELECT group_id, item_id, g.pos AS pos, f[CAST(g.pos + 1 AS INTEGER)] AS x
+            FROM feat, (SELECT unnest(range(8)) AS pos) g),
+     mu AS (SELECT group_id, pos, list_reduce(list(x ORDER BY item_id), (a, b) -> a + b) / count(*) AS mu
+            FROM fx GROUP BY 1, 2),
+     fxm AS (SELECT fx.group_id, fx.item_id, fx.pos, fx.x, mu.mu FROM fx JOIN mu USING (group_id, pos)),
+     sd AS (SELECT group_id, pos,
+              sqrt(list_reduce(list((x - mu) * (x - mu) ORDER BY item_id), (a, b) -> a + b) / count(*)) AS sd
+            FROM fxm GROUP BY 1, 2),
+     pts AS (SELECT group_id, item_id,
+               list(CASE WHEN sd > 0 THEN (x - mu) / sd ELSE 0.0 END ORDER BY pos) AS v
+             FROM fxm JOIN sd USING (group_id, pos) GROUP BY 1, 2),
+     ${LloydSql.chain(k = 3, iters = 2, dim = 8)}
+     SELECT group_id, count(*) AS n_members, count(DISTINCT cluster) AS n_clusters_used,
+       CAST(sum(item_id * (cluster + 1)) AS BIGINT) AS assign_checksum
+     FROM a2 GROUP BY group_id"""
+
   val oracleSql: Map[String, String] = Map(
+    "op_kmeans_groups" -> kmeansGroupsOracle,
+    "op_kmeans_households" -> kmeansHouseholdsOracle,
     "q27_feature_encode" ->
       """WITH n AS (SELECT user_id, count(*) AS n_events FROM events GROUP BY user_id),
        peak AS (SELECT user_id, h FROM (

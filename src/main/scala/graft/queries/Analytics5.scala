@@ -331,44 +331,16 @@ object Analytics5 {
     * CTEs — c0 init (k lowest-item_id points), a_i assignment under
     * c_{i-1} (argmin with cluster tiebreak), c_i member-mean update
     * with the SAME order-fixed folds (item_id order per dimension, pos
-    * order for the rebuilt centroid array, index order for distances). */
-  private def kmeansOracle(k: Int, iters: Int, dim: Int): String = {
-    def assignCte(i: Int): String =
-      s"""a$i AS (
-         SELECT group_id, item_id, cluster, d FROM (
-           SELECT p.group_id, p.item_id, c.cluster,
-             list_reduce(list_transform(list_zip(p.v, c.cent), z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b) AS d,
-             row_number() OVER (PARTITION BY p.group_id, p.item_id ORDER BY
-               list_reduce(list_transform(list_zip(p.v, c.cent), z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b),
-               c.cluster) AS rk
-           FROM pts p JOIN c${i - 1} c USING (group_id))
-         WHERE rk = 1)"""
-    def updateCte(i: Int): String =
-      s"""c$i AS (
-         SELECT group_id, cluster, list(m ORDER BY pos) AS cent FROM (
-           SELECT e.group_id, e.cluster, e.pos,
-             list_reduce(list(e.x ORDER BY e.item_id), (a, b) -> a + b) / count(*) AS m
-           FROM (
-             SELECT p.group_id, a.cluster, p.item_id, g.pos,
-               p.v[CAST(g.pos + 1 AS INTEGER)] AS x
-             FROM pts p
-             JOIN a$i a USING (group_id, item_id),
-             (SELECT unnest(range($dim)) AS pos) g) e
-           GROUP BY 1, 2, 3)
-         GROUP BY 1, 2)"""
-    val ctes = (1 until iters).flatMap(i => Seq(assignCte(i), updateCte(i))) :+ assignCte(iters)
+    * order for the rebuilt centroid array, index order for distances).
+    * The CTE chain lives in [[LloydSql]], shared with the op_kmeans_*
+    * oracles (Analytics4). */
+  private def kmeansOracle(k: Int, iters: Int, dim: Int): String =
     s"""WITH pts AS (
        SELECT label AS group_id, vec_id AS item_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
        FROM embeddings),
-     c0 AS (
-       SELECT group_id, CAST(rn - 1 AS BIGINT) AS cluster, v AS cent FROM (
-         SELECT group_id, v, row_number() OVER (PARTITION BY group_id ORDER BY item_id) AS rn
-         FROM pts)
-       WHERE rn <= $k),
-     ${ctes.mkString(",\n     ")}
+     ${LloydSql.chain(k, iters, dim)}
      SELECT group_id, item_id, cluster, round(d, 6) AS dist6 FROM a$iters"""
-  }
 
   val oracleSql: Map[String, String] = Map(
     "q31_feedback_significance" ->

@@ -56,12 +56,21 @@ object Resolution {
     "pir_candidates" -> ((s, dir) => staged(s, scaleFor(dir)).candidates),
     "pir_scored_pairs" -> ((s, dir) => staged(s, scaleFor(dir)).scored),
     "pir_clusters" -> ((s, dir) => staged(s, scaleFor(dir)).clusters),
+    // histogram rows PLUS a deterministic assignment digest — the pir_*
+    // family has no DuckDB oracle (driver testdata lacks a span-schema
+    // table), so the digest gives the driver artifact a stable value to
+    // diff across rounds: bit_xor(xxhash64(doc_id, cluster_id)) is
+    // order-insensitive and changes if ANY doc moves cluster (canonical
+    // labels are the min-member doc_id, so they're stable across runs)
     "pir_cluster_sizes" -> ((s, dir) => {
-      staged(s, scaleFor(dir)).clusters
-        .groupBy("cluster_id")
+      val cl = staged(s, scaleFor(dir)).clusters
+      val digest = cl.agg(
+        coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)).as("assign_digest"))
+      cl.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"))
         .groupBy("n_docs")
         .agg(count(lit(1)).as("n_clusters"))
+        .crossJoin(digest)
     }),
     // merged entity records (node-merge aggregates + JSON round-trip:
     // identity_graph.py:364-410 semantics as a group-by)
@@ -76,12 +85,18 @@ object Resolution {
         )
     }),
     // pairwise P/R/F1 vs generator ground truth, as a one-row DataFrame
+    // (+ the same assignment digest as pir_cluster_sizes, so the
+    // driver's quality row is hash-diffable round over round)
     "pir_quality" -> ((s, dir) => {
       import s.implicits._
       val st = staged(s, scaleFor(dir))
       val (p, r, f1, pos, fp) =
         Calibrate.pairwiseF1(Calibrate.clusterPairs(st.clusters, st.candidates), st.candidates, st.labels)
-      Seq((p, r, f1, pos, fp)).toDF("precision", "recall", "f1", "labeled_pos", "false_pos")
+      val dg = st.clusters
+        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)))
+        .head().getLong(0)
+      Seq((p, r, f1, pos, fp, dg))
+        .toDF("precision", "recall", "f1", "labeled_pos", "false_pos", "assign_digest")
     })
   )
 }

@@ -65,6 +65,33 @@ class QuerySmokeSpec extends AnyFunSuite {
   // the most regression-sensitive projection of the whole pipeline
   // (every blocking/scoring/clustering change moves it) — to committed
   // content, not just a row count.
+  // The assign_digest column (bit_xor of xxhash64(doc_id, cluster_id))
+  // is the driver-visible fingerprint of the FULL cluster assignment —
+  // pin it at two scales so any quality drift fails here first, and so
+  // the driver's rows-only pir rows carry a value diffable across
+  // rounds. Regenerate with SPARK_GRAFT_UPDATE_EXPECTED=1 after an
+  // intentional semantics change.
+  test("pir assignment digest matches committed values at two scales (t1, t2)") {
+    import org.apache.spark.sql.functions._
+    def digest(scale: String): Long = queries.Resolution.staged(spark, scale).clusters
+      .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)))
+      .head().getLong(0)
+    val actual = Seq("t1", "t2").map(sc => s"$sc ${digest(sc)}").mkString("", "\n", "\n")
+    val path = java.nio.file.Paths.get("src/test/resources/expected_assign_digests.txt")
+    if (sys.env.contains("SPARK_GRAFT_UPDATE_EXPECTED") || !java.nio.file.Files.exists(path)) {
+      java.nio.file.Files.createDirectories(path.getParent)
+      java.nio.file.Files.writeString(path, actual)
+      info(s"digests (re)generated at $path — commit the file")
+    } else {
+      val expected = java.nio.file.Files.readString(path)
+      assert(actual == expected, s"assignment digest drifted:\nexpected:\n$expected\nactual:\n$actual")
+    }
+    // and the driver-facing query carries the same t1 digest on every row
+    val df = spark.read.parquet(s"$outDir/pir_cluster_sizes")
+    val inQuery = df.select("assign_digest").distinct().collect().map(_.getLong(0)).toSeq
+    assert(inQuery == Seq(digest("t1")))
+  }
+
   test("pir_cluster_sizes content matches the committed histogram (sf0.001)") {
     val df = spark.read.parquet(s"$outDir/pir_cluster_sizes")
     val actual = df.collect()
