@@ -69,10 +69,12 @@ object Bench {
     // bench, host busy CPU >> this process's CPU — provable from the
     // artifact alone (round-2 lesson: a 2.2× task-CPU delta between two
     // "identical" runs was otherwise unattributable)
-    def procStatBusy(): Double = {
-      // /proc/stat cpu line: user nice system idle iowait irq softirq steal
-      val parts = scala.io.Source.fromFile("/proc/stat").getLines().next()
+    // /proc/stat cpu line: user nice system idle iowait irq softirq steal
+    def procStatParts(): Array[Long] =
+      scala.io.Source.fromFile("/proc/stat").getLines().next()
         .split("\\s+").drop(1).map(_.toLong)
+    def procStatBusy(): Double = {
+      val parts = procStatParts()
       (parts.sum - parts(3) - (if (parts.length > 4) parts(4) else 0L)) / 100.0
     }
     def procSelfCpu(): Double =
@@ -92,6 +94,27 @@ object Bench {
     // replaces the q1 "canary", which three archived slow runs proved
     // blind (cache-resident queries never touch DRAM).
     val memBw0 = graft.util.MemBw.probeGBps()
+    // disk-write probe (round-5 ab_r5 lesson: the host has a SECOND
+    // degradation mode the DRAM probe reads right through — kernel/IO
+    // pathology with 70-97% system time and fdatasync throughput
+    // collapsed to ~50 MB/s; checkpoint-commit-heavy stages then burn
+    // wall invisible to CPU counters). 128 MB synced sequential write,
+    // bounded at a few seconds even when degraded.
+    def diskWMBps(): Double = {
+      val f = java.io.File.createTempFile("graft_diskprobe", ".bin")
+      try {
+        val buf = new Array[Byte](1 << 20)
+        val out = new java.io.FileOutputStream(f)
+        val t0 = System.nanoTime()
+        var i = 0
+        while (i < 128) { out.write(buf); i += 1 }
+        out.getFD.sync()
+        out.close()
+        128.0 / ((System.nanoTime() - t0) / 1e9)
+      } finally f.delete()
+    }
+    val diskW0 = scala.util.Try(diskWMBps()).getOrElse(-1.0)
+    val stat0 = scala.util.Try(procStatParts()).getOrElse(Array.empty[Long])
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String)(body: => Unit): Double = {
@@ -165,12 +188,27 @@ object Bench {
         .mkString("{", ",", "}")
     val hostBusy1 = scala.util.Try(procStatBusy()).getOrElse(-1.0)
     val memBw1 = graft.util.MemBw.probeGBps()
+    val diskW1 = scala.util.Try(diskWMBps()).getOrElse(-1.0)
+    // host CPU split over the whole run: a dominant host_sys_cpu_s with
+    // modest host_user_cpu_s is the kernel/IO degradation mode
+    // (ab_r5: 70-97% system time box-wide while task CPU looked busy)
+    val stat1 = scala.util.Try(procStatParts()).getOrElse(Array.empty[Long])
+    def statDelta(idx: Int*): Double =
+      if (stat0.length > idx.max && stat1.length > idx.max)
+        idx.map(i => stat1(i) - stat0(i)).sum / 100.0
+      else -1.0
+    val hostSplit =
+      s""""host_user_cpu_s":${statDelta(0, 1)},"host_sys_cpu_s":${statDelta(2, 5, 6)},""" +
+        s""""host_iowait_s":${statDelta(4)},"host_steal_s":${statDelta(7)},"""
     val env =
       s""""max_heap_gb":${math.round(Runtime.getRuntime.maxMemory / 1e7) / 100.0},""" +
         s""""host_busy_cpu_s":${math.round((hostBusy1 - hostBusy0) * 10) / 10.0},""" +
+        hostSplit +
         s""""proc_cpu_s":${math.round((procSelfCpu() - selfCpu0) * 10) / 10.0},""" +
         s""""mem_bw_gbps_start":${math.round(memBw0 * 100) / 100.0},""" +
         s""""mem_bw_gbps_end":${math.round(memBw1 * 100) / 100.0},""" +
+        s""""disk_w_mbps_start":${math.round(diskW0 * 10) / 10.0},""" +
+        s""""disk_w_mbps_end":${math.round(diskW1 * 10) / 10.0},""" +
         s""""load_avg_start":$load0,"load_avg_end":${loadAvg()}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},$env}"""
