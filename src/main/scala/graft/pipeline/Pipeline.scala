@@ -37,7 +37,12 @@ object Pipeline {
       // the work set, src/api/optimized_api_server.py:673-700).
       // 8 concurrent chunk jobs backfill each other's shuffle/commit
       // barriers (A/B at 32c: e2e 84-88 s vs 88-95 s with 4) and halve
-      // the work lost to a mid-scoring kill.
+      // the work lost to a mid-scoring kill. Known trade (ab_r5): the
+      // chunk-partitioned candidates checkpoint writes ~scoreChunks×
+      // the files of an unpartitioned one — a win on healthy storage
+      // (partition pruning saves scoreChunks× redundant scan decode),
+      // a loss when the host's sync/writeback path is degraded; lower
+      // scoreChunks on storage with expensive commits.
       scoreChunks: Int = 8,
       // dictionary-encode doc ids to longs (nid = xxhash64(doc_id))
       // through B/S/C: variable-width string ids otherwise ride every
@@ -101,7 +106,18 @@ object Pipeline {
       // dict_fallback=1. Same gate pattern as broadcastRepsMaxDocs.
       // Default 2 GiB ≈ a third of a 6 GiB executor heap; bench sf0.1
       // uses ~200 MB.
-      dictMaxBytes: Long = 2L << 30
+      dictMaxBytes: Long = 2L << 30,
+      // compact the chunk-partitioned candidates checkpoint to exactly
+      // scoreChunks files (one repartition on the chunk column before
+      // the write; each writer task then owns one chunk dir). The
+      // default layout writes up to tasks×scoreChunks files — fine on
+      // healthy storage, but the ab_r5 A/B showed the ~8× file/commit
+      // count is the pipeline's sensitivity to degraded sync/writeback
+      // (HEAD lost ~300 s/run to it in that mode). Turn on where
+      // commits are expensive (object stores, degraded disks); off by
+      // default because the extra shuffle + 8-task write serialization
+      // costs more than it saves on healthy local disk.
+      compactCandidateFiles: Boolean = false
   )
 
   final case class Result(
@@ -240,8 +256,10 @@ object Pipeline {
       // pmod predicate is layout-independent).
       partitionCols = Seq(chunkCol)
     ) {
-      Blocking.candidatesFromKeys(keys, cfg.blocking)
+      val base = Blocking.candidatesFromKeys(keys, cfg.blocking)
         .withColumn(chunkCol, pmod(col("salt"), lit(cfg.scoreChunks)).cast("int"))
+      if (cfg.compactCandidateFiles) base.repartition(cfg.scoreChunks, col(chunkCol))
+      else base
     }
     val chunkPruned = candidates.columns.contains(chunkCol)
 

@@ -85,9 +85,20 @@ class PipelineSpec extends AnyFunSuite {
     // fall back from fused to direct (no broadcast collect, no text_ids
     // stage), record the decision, and produce value-identical output
     val dirG = Files.createTempDirectory("graft_pipe_dictgate").toString
-    val gated = Pipeline.run(spark, docs, dirG, Pipeline.Cfg(dictMaxBytes = 1L))
+    // piggyback compactCandidateFiles on the same run (one pipeline
+    // execution covers both knobs' value-identity)
+    val gated = Pipeline.run(spark, docs, dirG,
+      Pipeline.Cfg(dictMaxBytes = 1L, compactCandidateFiles = true))
     assert(!new java.io.File(s"$dirG/text_ids/_SUCCESS").exists(),
       "fallback run must not build the dictionary-id rep")
+    // compact layout: exactly one data file per chunk dir
+    val chunkDirs = new java.io.File(s"$dirG/candidates").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("chunk_"))
+    assert(chunkDirs.nonEmpty)
+    chunkDirs.foreach { d =>
+      val parts = d.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(parts == 1, s"${d.getName}: expected 1 compacted file, found $parts")
+    }
     val m = spark.read.parquet(s"$dirG/metrics")
     assert(m.where(col("name") === "dict_fallback" && col("value") === 1.0).count() == 1,
       "fallback must be recorded in the metrics table")
