@@ -35,6 +35,12 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4"))
       .config("spark.sql.parquet.compression.codec",
         sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy"))
+      // write-syscall batching A/B knob for the kernel/IO degradation
+      // mode (ab_r5): a bigger shuffle file buffer cuts write() calls
+      // proportionally — relevant when the host's writeback path is the
+      // bottleneck, irrelevant (32k default fine) on healthy storage
+      .config("spark.shuffle.file.buffer",
+        sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_BUFFER", "32k"))
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
@@ -133,7 +139,8 @@ object Bench {
     val pipeCfg = graft.pipeline.Pipeline.Cfg(
       blocking = graft.blocking.Blocking.Cfg(
         fusedMinhash = sys.env.get("SPARK_GRAFT_FUSED_MINHASH").forall(_ != "0")),
-      scorePath = sys.env.getOrElse("SPARK_GRAFT_SCORE_PATH_PIPE", "fused")
+      scorePath = sys.env.getOrElse("SPARK_GRAFT_SCORE_PATH_PIPE", "fused"),
+      compactCandidateFiles = sys.env.get("SPARK_GRAFT_COMPACT_FILES").contains("1")
     )
     locally {
       val (wuDocs, _) = graft.schema.Fixture.ensureWritten(spark, "t2")
@@ -200,8 +207,31 @@ object Bench {
     val hostSplit =
       s""""host_user_cpu_s":${statDelta(0, 1)},"host_sys_cpu_s":${statDelta(2, 5, 6)},""" +
         s""""host_iowait_s":${statDelta(4)},"host_steal_s":${statDelta(7)},"""
+    // Objective window classification, computed from the probes — the
+    // machine-readable replacement for "best-of-N + judgment" run
+    // selection. A run is degraded iff ANY of (thresholds sit between
+    // every archived clean record and every archived degraded one,
+    // BASELINE.md round-5 table):
+    //  - kernel/IO mode: box system CPU > 25% of our task CPU (clean
+    //    records ≈ 1-2%, degraded 56-112%), or hypervisor steal > 60
+    //    core-s (clean ≈ 0, degraded 292-1,460);
+    //  - bandwidth mode: either DRAM triad probe < 70 GB/s (healthy
+    //    98-113, degraded-mode floor 36);
+    //  - storage mode: either synced-write probe < 60 MB/s (healthy
+    //    160-310, degraded floor 21).
+    val windowReasons = Seq(
+      (stat0.length > 7 && stat1.length > 7 &&
+        statDelta(2, 5, 6) > 0.25 * (cpuNs.get / 1e9)) -> "host_sys_cpu",
+      (stat0.length > 7 && stat1.length > 7 && statDelta(7) > 60.0) -> "host_steal",
+      (math.min(memBw0, memBw1) > 0 && math.min(memBw0, memBw1) < 70.0) -> "mem_bw",
+      (math.min(diskW0, diskW1) > 0 && math.min(diskW0, diskW1) < 60.0) -> "disk_w"
+    ).collect { case (true, r) => r }
+    val window =
+      if (windowReasons.isEmpty) """"window":"clean","""
+      else s""""window":"degraded","window_reasons":${windowReasons.mkString("[\"", "\",\"", "\"]")},"""
     val env =
-      s""""max_heap_gb":${math.round(Runtime.getRuntime.maxMemory / 1e7) / 100.0},""" +
+      window +
+        s""""max_heap_gb":${math.round(Runtime.getRuntime.maxMemory / 1e7) / 100.0},""" +
         s""""host_busy_cpu_s":${math.round((hostBusy1 - hostBusy0) * 10) / 10.0},""" +
         hostSplit +
         s""""proc_cpu_s":${math.round((procSelfCpu() - selfCpu0) * 10) / 10.0},""" +
