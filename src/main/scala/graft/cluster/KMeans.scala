@@ -267,7 +267,17 @@ object KMeans {
     * digits. Runs `iters` assignment rounds with `iters − 1` centroid
     * updates between them; empty clusters drop out of the centroid
     * table (both engines agree: no members → no row). */
-  def lloydDeterministic(pts: DataFrame, k: Int, iters: Int): DataFrame = {
+  def lloydDeterministic(pts: DataFrame, k: Int, iters: Int): DataFrame =
+    lloydDeterministicParts(pts, k, iters)._1
+
+  /** [[lloydDeterministic]] exposing BOTH outputs: the final
+    * assignments AND the centroid table they were assigned against
+    * (c_{iters−1}). The IVF coarse quantizer ([[graft.ops.Ivf]]) needs
+    * the centroids for query-side cell probing; a DuckDB oracle reads
+    * the same table as the `c<iters-1>` CTE of [[
+    * graft.queries.LloydSql]].chain. Centroid schema:
+    * (group_id, cluster, cent: array<double>). */
+  def lloydDeterministicParts(pts: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("group_id").orderBy("item_id")
@@ -313,9 +323,12 @@ object KMeans {
         )
       assigned = assign(cents)
     }
-    assigned.select(
-      col("group_id"), col("item_id"), col("cluster"),
-      round(col("dist"), 6).as("dist6")
+    (
+      assigned.select(
+        col("group_id"), col("item_id"), col("cluster"),
+        round(col("dist"), 6).as("dist6")
+      ),
+      cents
     )
   }
 }

@@ -22,6 +22,13 @@ import org.apache.spark.sql.functions._
   * Conversion values are summed as DECIMAL(18,2) (exact, order-free —
   * the q25 engagement pattern) so the cross-engine hashes can't drift
   * on float association; shares divide two exact decimals as doubles.
+  *
+  * q41: IVF-flat ANN top-k over the embeddings table
+  * ([[graft.ops.Ivf]]): deterministic-Lloyd coarse quantizer (the q35
+  * twin, via LloydSql.chain) → nprobe nearest cells per query → cosine
+  * top-k within probed cells. The oracle replays quantizer training,
+  * cell assignment, probing, and cosine ranking with the identical
+  * order-fixed folds, so ranks match bit-exactly cross-engine.
   */
 object Analytics6 {
 
@@ -52,6 +59,16 @@ object Analytics6 {
           when(col("persona_value") > 0,
             round(col("credited").cast("double") / col("persona_value").cast("double"), 6))
             .otherwise(lit(0.0)).as("value_share6")
+        )
+    }),
+    "q41_ivf_topk" -> ((s, dir) => {
+      val vecs = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vec"))
+      graft.ops.Ivf.topK(vecs, nlist = 8, nprobe = 3, k = 5, iters = 2)
+        .select(
+          col("id_a"), col("id_b"),
+          col("rank").cast("long").as("rank"),
+          round(col("cos"), 6).as("cos6")
         )
     })
   )
@@ -101,6 +118,40 @@ object Analytics6 {
            CASE WHEN t.persona_value > 0
              THEN round(CAST(c.credited AS DOUBLE) / CAST(t.persona_value AS DOUBLE), 6)
              ELSE 0.0 END AS value_share6
-         FROM credit c JOIN totals t USING (persona)"""
+         FROM credit c JOIN totals t USING (persona)""",
+    "q41_ivf_topk" -> {
+      val chain = LloydSql.chain(k = 8, iters = 2, dim = 64)
+      s"""WITH pts AS (
+           SELECT CAST(0 AS BIGINT) AS group_id, vec_id AS item_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         $chain,
+         members AS (
+           SELECT a.item_id AS id_b, a.cluster AS cell, p.v AS v_b
+           FROM a2 a JOIN pts p USING (group_id, item_id)),
+         probes AS (
+           SELECT item_id AS id_a, v AS v_a, cell FROM (
+             SELECT p.item_id, p.v, c.cluster AS cell,
+               row_number() OVER (PARTITION BY p.item_id ORDER BY
+                 list_reduce(list_transform(list_zip(p.v, c.cent), z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b),
+                 c.cluster) AS crk
+             FROM pts p JOIN c1 c USING (group_id))
+           WHERE crk <= 3),
+         scored AS (
+           SELECT id_a, id_b,
+             CASE WHEN na > 0 AND nb > 0 THEN dot / (sqrt(na) * sqrt(nb)) ELSE 0.0 END AS cos
+           FROM (
+             SELECT q.id_a, m.id_b,
+               list_reduce(list_transform(list_zip(q.v_a, m.v_b), z -> z[1] * z[2]), (a, b) -> a + b) AS dot,
+               list_reduce(list_transform(q.v_a, x -> x * x), (a, b) -> a + b) AS na,
+               list_reduce(list_transform(m.v_b, x -> x * x), (a, b) -> a + b) AS nb
+             FROM probes q JOIN members m USING (cell)
+             WHERE q.id_a <> m.id_b))
+         SELECT id_a, id_b, rank, round(cos, 6) AS cos6 FROM (
+           SELECT id_a, id_b, cos,
+             row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
+           FROM scored)
+         WHERE rank <= 5"""
+    }
   )
 }

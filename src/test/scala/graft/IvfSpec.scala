@@ -1,0 +1,58 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.ops.{Ivf, Similarity}
+
+/** IVF-flat ANN: recall against the exact brute-force top-k, plus
+  * structural invariants (per-query result count, rank density,
+  * determinism across runs). Planted clustered vectors — IVF's home
+  * regime — so recall has an analytic expectation: a query's true
+  * neighbours live in its own blob, the quantizer recovers blobs, and
+  * probing its own cell (+2 spares) must find nearly all of them. */
+class IvfSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  // 6 gaussian blobs of 40 vectors in 16d, centres well separated
+  private def blobs = {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val centres = Array.fill(6, 16)(rnd.nextGaussian() * 8.0)
+    val rows = for {
+      b <- 0 until 6
+      i <- 0 until 40
+    } yield (
+      (b * 40 + i).toLong,
+      centres(b).map(c => (c + rnd.nextGaussian() * 0.6).toFloat).toSeq
+    )
+    rows.toDF("id", "vec")
+  }
+
+  test("ivf top-k recall >= 0.9 vs brute force on clustered vectors") {
+    val vecs = blobs.cache()
+    val k = 5
+    val ivf = Ivf.topK(vecs, nlist = 8, nprobe = 3, k = k, iters = 3)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(vecs, k)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"recall=$recall")
+  }
+
+  test("ivf output is structurally sound and deterministic") {
+    val vecs = blobs.cache()
+    val out = Ivf.topK(vecs, nlist = 8, nprobe = 3, k = 5, iters = 2).cache()
+    // ranks are dense 1..n per query, n <= k
+    val badRanks = out.groupBy("id_a")
+      .agg(count(lit(1)).as("n"), max("rank").as("mx"), min("rank").as("mn"))
+      .where(col("mx") =!= col("n") || col("mn") =!= 1 || col("n") > 5)
+      .count()
+    assert(badRanks == 0)
+    // no self pairs
+    assert(out.where(col("id_a") === col("id_b")).count() == 0)
+    // bit-identical across a rerun (deterministic quantizer + rankings)
+    val again = Ivf.topK(vecs, nlist = 8, nprobe = 3, k = 5, iters = 2)
+    assert(out.except(again).count() == 0 && again.except(out).count() == 0)
+  }
+}
