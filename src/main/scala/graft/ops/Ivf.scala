@@ -11,20 +11,24 @@ import org.apache.spark.sql.expressions.Window
   *
   * Index = a coarse k-means quantizer: every vector is assigned to its
   * nearest of `nlist` centroids ("cells"). A query scores ONLY the
-  * vectors in its `nprobe` nearest cells, replacing the O(n²) cross
-  * join with (a) one broadcast of nlist·dim doubles for cell probing
-  * and (b) one equi-join on cell id. At 10^12 rows the members table
-  * shuffles once on cell id; residual cell skew is AQE's skew-join
-  * case (cells are bounded by the quantizer's balance, unlike LSH
-  * buckets which follow the data's own collision law).
+  * vectors in its `nprobe` nearest cells. Plan shape: the trained
+  * centroid table is collected (nlist rows — a bounded config-sized
+  * reduction, same class as the attribution matrices) and folded into
+  * ONE constant literal, so cell assignment and probe ranking are
+  * NARROW per-row expressions (array_sort over nlist (dist, cell)
+  * structs) — zero shuffle until the single cell-id equi-join that
+  * replaces the O(n²) cross join. Residual cell skew is AQE's
+  * skew-join case; cells are bounded by the quantizer's balance,
+  * unlike LSH buckets which follow the data's own collision law.
   *
   * The quantizer is [[graft.cluster.KMeans.lloydDeterministicParts]] —
   * fixed k, fixed iterations, lowest-id init, order-fixed fp folds —
   * so a DuckDB oracle (q41, via [[graft.queries.LloydSql]].chain)
   * recomputes identical cells, probes, and cosines bit-exactly: the
-  * q35 twin recipe applied to a whole ANN operator. A production
-  * deployment would swap in the silhouette-selected k-means++
-  * quantizer unchanged — only the centroid source differs.
+  * q35 twin recipe applied to a whole ANN operator. At index-build
+  * scale, train on a deterministic hash-sample (`trainFraction`) —
+  * quantizer quality needs a sample, not the corpus; assignment cost
+  * is unchanged either way because it never joins the training set.
   *
   * Reference scope: the reference's similarity search is embedding
   * cosine over identity feature vectors (src/models/
@@ -43,43 +47,63 @@ object Ivf {
     * nearest cells. Output: (id_a, id_b, rank, cos) — rank 1 = nearest,
     * ties broken by id_b; deterministic end to end.
     *
-    * `iters` Lloyd rounds train the quantizer on the full input (at
-    * index-build scale one would train on a sample; the assignment
-    * join below is the same either way). */
+    * `trainFraction` < 1 trains the quantizer on a deterministic
+    * xxhash64 sample of the input (production path); 1.0 trains on
+    * everything (the oracle-twin configuration, where the final Lloyd
+    * assignment and the argmin below provably coincide). */
   def topK(
       vecs: DataFrame,
       nlist: Int = 8,
       nprobe: Int = 3,
       k: Int = 5,
-      iters: Int = 2
+      iters: Int = 2,
+      trainFraction: Double = 1.0
   ): DataFrame = {
-    require(nprobe <= nlist && k >= 1)
-    val pts = vecs.select(
+    require(nprobe <= nlist && k >= 1 && trainFraction > 0 && trainFraction <= 1)
+    val base = vecs.select(
       lit(0L).as("group_id"),
       col("id").as("item_id"),
       asDouble(col("vec")).as("features")
     )
-    val (assigned, cents) =
+    val pts =
+      if (trainFraction >= 1.0) base
+      else base.where(
+        pmod(xxhash64(lit("ivf"), col("item_id")), lit(1000000L)) <
+          lit((trainFraction * 1000000).toLong))
+    val (_, cents) =
       graft.cluster.KMeans.lloydDeterministicParts(pts, nlist, iters)
 
-    // inverted file: vector → its cell (one row each, shuffled on cell)
-    val members = vecs
-      .select(col("id").as("id_b"), asDouble(col("vec")).as("v_b"))
-      .join(
-        assigned.select(col("item_id").as("id_b"), col("cluster").as("cell")),
-        "id_b"
-      )
+    // nlist rows -> one constant-folded literal, in cluster order (the
+    // fold order is the tiebreak order, matching ORDER BY d, cluster)
+    val centRows = cents.select("cluster", "cent").collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1)))
+      .sortBy(_._1)
+    require(centRows.nonEmpty, "quantizer produced no centroids — input empty?")
+    val centLit = array(centRows.toIndexedSeq.map { case (cl, cent) =>
+      struct(lit(cl).as("cell"), array(cent.map(lit): _*).as("cent"))
+    }: _*)
 
-    // probe list: each query's nprobe nearest cells. The centroid table
-    // is nlist rows — broadcast; the rank window is per-query.
-    val wProbe = Window.partitionBy("id_a").orderBy(col("cdist"), col("cell"))
-    val probes = vecs
-      .select(col("id").as("id_a"), asDouble(col("vec")).as("v_a"))
-      .crossJoin(broadcast(cents.select(col("cluster").as("cell"), col("cent"))))
-      .withColumn("cdist", sqd(col("v_a"), col("cent")))
-      .withColumn("crk", row_number().over(wProbe))
-      .where(col("crk") <= nprobe)
-      .select("id_a", "v_a", "cell")
+    // per-row: all nlist (dist, cell) pairs sorted — struct ordering is
+    // lexicographic, so equal distances break toward the lower cell id,
+    // identical to the Lloyd argmin and the oracle's row_number order
+    def rankedCells(v: Column): Column =
+      array_sort(transform(centLit, c =>
+        struct(sqd(v, c.getField("cent")).as("d"), c.getField("cell").as("cell"))))
+
+    // inverted file: vector -> its nearest cell (narrow, no shuffle)
+    val members = vecs.select(
+      col("id").as("id_b"),
+      asDouble(col("vec")).as("v_b")
+    ).withColumn("cell", element_at(rankedCells(col("v_b")), 1).getField("cell"))
+
+    // probe list: each query's nprobe nearest cells (narrow explode)
+    val probes = vecs.select(
+      col("id").as("id_a"),
+      asDouble(col("vec")).as("v_a")
+    ).select(
+      col("id_a"), col("v_a"),
+      explode(transform(slice(rankedCells(col("v_a")), 1, nprobe), _.getField("cell"))).as("cell")
+    )
 
     val wTop = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     probes

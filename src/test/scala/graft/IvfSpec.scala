@@ -55,4 +55,38 @@ class IvfSpec extends AnyFunSuite {
     val again = Ivf.topK(vecs, nlist = 8, nprobe = 3, k = 5, iters = 2)
     assert(out.except(again).count() == 0 && again.except(out).count() == 0)
   }
+
+  test("serving plan is narrow: shuffles only at the cell join and top-k window") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    def countShuffles(p: SparkPlan): Int = {
+      var n = 0
+      p.foreach {
+        case a: AdaptiveSparkPlanExec => n += countShuffles(a.executedPlan)
+        case _: ShuffleExchangeExec => n += 1
+        case _ => ()
+      }
+      n
+    }
+    val out = Ivf.topK(blobs, nlist = 8, nprobe = 3, k = 5, iters = 2)
+    out.collect() // materialize so AQE finalizes the executed plan
+    // cell assignment and probe ranking are literal-centroid folds, so
+    // the serving side needs exactly: join shuffle x2 + window shuffle.
+    // (quantizer TRAINING shuffles are upstream of the collect() and
+    // not part of this plan.)
+    assert(countShuffles(out.queryExecution.executedPlan) <= 3,
+      out.queryExecution.executedPlan.toString.take(2000))
+  }
+
+  test("sampled quantizer training keeps recall on clustered vectors") {
+    val vecs = blobs.cache()
+    val k = 5
+    val ivf = Ivf.topK(vecs, nlist = 8, nprobe = 3, k = k, iters = 3, trainFraction = 0.5)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Similarity.bruteForceTopK(vecs, k)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = (ivf & exact).size.toDouble / exact.size
+    assert(recall >= 0.85, s"recall=$recall")
+  }
 }
