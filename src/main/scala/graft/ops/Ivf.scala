@@ -59,7 +59,33 @@ object Ivf {
       iters: Int = 2,
       trainFraction: Double = 1.0
   ): DataFrame = {
-    require(nprobe <= nlist && k >= 1 && trainFraction > 0 && trainFraction <= 1)
+    require(k >= 1)
+    val (members, probes) = index(vecs, nlist, nprobe, iters, trainFraction)
+    val wTop = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
+    probes
+      .join(members, "cell")
+      .where(col("id_a") =!= col("id_b"))
+      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
+      .withColumn("rank", row_number().over(wTop))
+      .where(col("rank") <= k)
+      .select("id_a", "id_b", "rank", "cos")
+  }
+
+  /** The trained index surfaces: (members, probes) —
+    * members = (cell, id_b, v_b): each vector in its nearest cell;
+    * probes = (cell, id_a, v_a): each query × its nprobe nearest cells.
+    * `probes ⋈ members ON cell` is the candidate set every IVF
+    * consumer scores; exposed so instrumentation (op_ivf_recall's
+    * candidate_frac) measures the REAL candidate volume rather than
+    * re-deriving it. */
+  def index(
+      vecs: DataFrame,
+      nlist: Int = 8,
+      nprobe: Int = 3,
+      iters: Int = 2,
+      trainFraction: Double = 1.0
+  ): (DataFrame, DataFrame) = {
+    require(nprobe <= nlist && trainFraction > 0 && trainFraction <= 1)
     val base = vecs.select(
       lit(0L).as("group_id"),
       col("id").as("item_id"),
@@ -105,13 +131,6 @@ object Ivf {
       explode(transform(slice(rankedCells(col("v_a")), 1, nprobe), _.getField("cell"))).as("cell")
     )
 
-    val wTop = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
-    probes
-      .join(members, "cell")
-      .where(col("id_a") =!= col("id_b"))
-      .withColumn("cos", Similarity.cosine(col("v_a"), col("v_b")))
-      .withColumn("rank", row_number().over(wTop))
-      .where(col("rank") <= k)
-      .select("id_a", "id_b", "rank", "cos")
+    (members, probes)
   }
 }
