@@ -145,6 +145,63 @@ object Blocking {
       .repartitionByRange(col("doc_a"), col("salt"))
   }
 
+  /** Delta-mode pair generation: candidate pairs that involve at least
+    * one NEW doc, against a prior run's persisted key table — the
+    * blocking step of incremental resolution (add a day's docs without
+    * re-pairing the corpus).
+    *
+    * Only blocks TOUCHED by a new key matter: a block with no new
+    * member can produce no new pair (its old-old pairs were generated
+    * by the prior run). Prior keys are therefore semi-join-pruned to
+    * touched blocks before anything wide happens — the one full pass
+    * over the prior key table is a pruned two-column scan, not a
+    * re-shingle of the corpus.
+    *
+    * Cap semantics: the census counts the COMBINED membership
+    * (prior + new) of each touched block, exactly what a full run over
+    * old∪new would count, so new pairs are dropped iff the full run
+    * would drop them. One documented asymmetry (standard for
+    * incremental ER): a block pushed OVER the cap by new docs keeps
+    * the old-old pairs the prior run already emitted — deltas add
+    * evidence, they never revoke it. Witness dedup is identical to
+    * [[candidatesFromKeys]]: every block shared by a pair is touched
+    * (it contains the pair's new doc), so the min-(key_kind,block_key)
+    * witness matches the full run's and the output is byte-stable.
+    *
+    * Pair-set contract (BlockingDeltaSpec): if no block's size crosses
+    * `maxBlockSize` between the prior and combined runs,
+    * `candidatesFromKeys(old ∪ new)` ≡
+    * `candidatesFromKeys(old) ∪ deltaCandidates(new, old)` exactly. */
+  def deltaCandidates(newKeys: DataFrame, priorKeys: DataFrame, cfg: Cfg): DataFrame = {
+    val touched = newKeys.select("key_kind", "block_key").distinct()
+    val oldInTouched = priorKeys
+      .join(touched, Seq("key_kind", "block_key"), "left_semi")
+      .select(col("key_kind"), col("block_key"), col("doc_id"), lit(false).as("is_new"))
+    val u = newKeys
+      .select(col("key_kind"), col("block_key"), col("doc_id"), lit(true).as("is_new"))
+      .unionByName(oldInTouched)
+
+    val kept = u
+      .join(blockSizes(u.select("key_kind", "block_key", "doc_id")).where(col("block_n") <= cfg.maxBlockSize),
+        Seq("key_kind", "block_key"))
+      .select("key_kind", "block_key", "doc_id", "is_new")
+
+    val a = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_a"), col("is_new").as("new_a"))
+    val b = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_b"), col("is_new").as("new_b"))
+    a.join(b, Seq("key_kind", "block_key"))
+      .where(col("doc_a") < col("doc_b") && (col("new_a") || col("new_b")))
+      .groupBy("doc_a", "doc_b")
+      .agg(min(struct(col("key_kind"), col("block_key"))).as("w"))
+      .select(
+        col("doc_a"),
+        col("doc_b"),
+        col("w.key_kind").as("key_kind"),
+        col("w.block_key").as("block_key"),
+        pmod(xxhash64(col("doc_a"), col("doc_b")), lit(cfg.salts)).cast("int").as("salt")
+      )
+      .repartitionByRange(col("doc_a"), col("salt"))
+  }
+
   /** Metrics rows for dropped (over-cap) blocks: count and the estimated
     * pair mass dropped — Σ n·(n−1)/2 over dropped blocks. */
   def dropMetrics(keys: DataFrame, cfg: Cfg): DataFrame = {
