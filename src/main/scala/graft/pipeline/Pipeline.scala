@@ -129,6 +129,175 @@ object Pipeline {
 
   private def done(path: String): Boolean = new java.io.File(path + "/_SUCCESS").exists()
 
+  /** Checkpoint-stage writer shared by [[run]] and [[runDelta]]: write
+    * to `runDir/name` with `_SUCCESS`-gated idempotent resume, lineage
+    * rows and a metrics table. */
+  private final class Ckpt(spark: SparkSession, runDir: String, runId: String) {
+    def stage(
+        name: String,
+        metrics: DataFrame => Seq[(String, Double)] = _ => Nil,
+        partitionCols: Seq[String] = Nil
+    )(
+        compute: => DataFrame
+    ): DataFrame = {
+      val path = s"$runDir/$name"
+      if (!done(path)) {
+        val t0 = System.nanoTime()
+        compute.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
+        val out = spark.read.parquet(path)
+        val wallMs = (System.nanoTime() - t0) / 1e6
+        Lineage.writeLineage(out, name, runId, runDir)
+        Lineage.writeMetrics(spark, name, runId, metrics(out) :+ ("wall_ms" -> wallMs), runDir)
+      }
+      spark.read.parquet(path)
+    }
+  }
+
+  /** Stages S0 (doc reps) + S1 (dictionary/pair tables, size-gated) +
+    * S (chunk-resumable pair scoring) — shared verbatim by [[run]] and
+    * [[runDelta]]; see the inline comments at each block. Returns the
+    * scored-pairs frame (chunk column dropped). */
+  private def scoreStage(
+      spark: SparkSession,
+      ck: Ckpt,
+      runDir: String,
+      runId: String,
+      cfg: Cfg,
+      docs: DataFrame,
+      candidates: DataFrame,
+      chunkCol: String
+  ): DataFrame = {
+    val chunkPruned = candidates.columns.contains(chunkCol)
+
+    // Stage S0 — doc representations, checkpointed once and shared by
+    // every scoring chunk (recomputing them per chunk would re-scan the
+    // whole input scoreChunks times)
+    graft.util.PhaseTracker.set("scoring")
+    val textRep = ck.stage("text_rep")(Scoring.textRep(docs))
+    val mediaRep = ck.stage("media_rep")(Scoring.mediaRep(docs))
+
+    // Stage S1 (scorePath-dependent):
+    //  - dict: dense span-text dictionary + id-encoded rep, checkpointed
+    //    once; the dictionary is broadcast once and every chunk's kernel
+    //    reads it (see Scoring.scoreWithRepsDict).
+    //  - pair: distinct-text-pair score table, left-joined per chunk.
+    require(Set("fused", "dict", "direct", "pair").contains(cfg.scorePath),
+      s"unknown scorePath '${cfg.scorePath}'")
+    // dictionary-size gate (see Cfg.dictMaxBytes): estimate the
+    // broadcast footprint from the checkpointed dictionary BEFORE
+    // collecting it; over budget → the unbounded direct path. The
+    // estimate is one pruned two-column aggregate (utf-8 bytes +
+    // 32 B/entry for the byte-array object header and table slot).
+    var dictBcastBytes = 0L
+    val wantDict = cfg.scorePath == "dict" || cfg.scorePath == "fused"
+    val dictSide =
+      if (wantDict) {
+        val dict = ck.stage("text_dict")(Scoring.textDictDense(textRep))
+        val g = dict.agg(
+          coalesce(sum(octet_length(col("t"))), lit(0L)).as("b"),
+          count(lit(1)).as("n")
+        ).head()
+        dictBcastBytes = g.getLong(0) + 32L * g.getLong(1)
+        if (dictBcastBytes <= cfg.dictMaxBytes) {
+          val txtIds = ck.stage("text_ids")(Scoring.textIdsRep(textRep, dict))
+          Some((txtIds, Scoring.broadcastDict(dict)))
+        } else {
+          System.err.println(
+            f"[pipeline] span-text dictionary ≈ ${dictBcastBytes / 1e6}%.0f MB exceeds " +
+              f"dictMaxBytes=${cfg.dictMaxBytes / 1e6}%.0f MB — falling back to scorePath=direct")
+          None
+        }
+      } else None
+    val scorePath = if (wantDict && dictSide.isEmpty) "direct" else cfg.scorePath
+    val pairScores =
+      if (scorePath == "pair")
+        Some(ck.stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
+      else None
+
+    // one count on the checkpointed rep decides the fused path's rep
+    // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
+    val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
+      dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
+
+    // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
+    // each chunk commits independently (its own parquet _SUCCESS), the
+    // stage-level _SUCCESS commits last. A rerun skips finished chunks.
+    val scoredPath = s"$runDir/scored_pairs"
+    if (!done(scoredPath)) {
+      val t0 = System.nanoTime()
+      // chunk-count marker: the stage read below globs every chunk=*
+      // dir, so chunks committed by an earlier attempt with a DIFFERENT
+      // scoreChunks would silently duplicate scored pairs on resume.
+      // Mismatch => the old partition of the pair set is incompatible;
+      // drop all chunk dirs and start the stage over.
+      locally {
+        val marker = java.nio.file.Paths.get(s"$scoredPath/_chunks")
+        val prior =
+          if (java.nio.file.Files.exists(marker))
+            scala.util.Try(java.nio.file.Files.readString(marker).trim.toInt).toOption
+          else None
+        if (!prior.contains(cfg.scoreChunks)) {
+          val d = new java.io.File(scoredPath)
+          if (d.exists()) d.listFiles().filter(_.getName.startsWith("chunk=")).foreach { f =>
+            org.apache.commons.io.FileUtils.deleteQuietly(f)
+          }
+          java.nio.file.Files.createDirectories(marker.getParent)
+          java.nio.file.Files.writeString(marker, cfg.scoreChunks.toString)
+        }
+      }
+      // chunks are independent jobs — submit them CONCURRENTLY so the
+      // scheduler backfills each job's shuffle/commit barriers with the
+      // other chunks' tasks (sequential chunks left cores idle at every
+      // barrier: measured 0.56 scaling efficiency 8→32 before this)
+      val conc = sys.env.get("SPARK_GRAFT_SCORE_CONC").map(_.toInt)
+        .getOrElse(math.min(cfg.scoreChunks, 8))
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, conc))
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val futs = (0 until cfg.scoreChunks).map { i =>
+        scala.concurrent.Future {
+          val cpath = s"$scoredPath/chunk=$i"
+          if (!done(cpath)) {
+            val chunk =
+              if (chunkPruned) candidates.where(col(chunkCol) === i)
+              else candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
+            (scorePath match {
+              case "fused" =>
+                val (txtIds, bc) = dictSide.get
+                Scoring.scoreWithRepsFused(chunk, txtIds, mediaRep, cfg.weights, bc, bcastReps)
+              case "dict" =>
+                val (txtIds, bc) = dictSide.get
+                Scoring.scoreWithRepsDict(chunk, txtIds, mediaRep, cfg.weights, bc)
+              case "pair" =>
+                Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights, pairScores)
+              case _ =>
+                Scoring.scoreWithRepsDirect(chunk, textRep, mediaRep, cfg.weights)
+            }).write.mode("overwrite").parquet(cpath)
+          }
+        }
+      }
+      try scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(futs),
+        scala.concurrent.duration.Duration.Inf
+      )
+      finally pool.shutdown()
+      val out = spark.read.parquet(scoredPath).drop("chunk")
+      val wallMs = (System.nanoTime() - t0) / 1e6
+      Lineage.writeLineage(out, "scored_pairs", runId, runDir)
+      Lineage.writeMetrics(spark, "scored_pairs", runId, Seq(
+        "scored_pairs" -> out.count().toDouble,
+        "matched_pairs" -> out.where(col("is_match")).count().toDouble,
+        // dictionary-gate audit trail: the estimated broadcast bytes and
+        // whether the run was forced off the fused/dict path
+        "dict_bcast_bytes" -> dictBcastBytes.toDouble,
+        "dict_fallback" -> (if (wantDict && dictSide.isEmpty) 1.0 else 0.0),
+        "wall_ms" -> wallMs
+      ), runDir)
+      new java.io.File(s"$scoredPath/_SUCCESS").createNewFile()
+    }
+    spark.read.parquet(scoredPath).drop("chunk")
+  }
+
   /** Run (or resume) the pipeline. `docs` must have the input_hint
     * shape; stage outputs are written under `runDir`. */
   def run(spark: SparkSession, docs0: DataFrame, runDir: String, cfg: Cfg = Cfg()): Result = {
@@ -155,24 +324,14 @@ object Pipeline {
       } else java.nio.file.Files.writeString(marker, idMode)
     }
 
+    val ck = new Ckpt(spark, runDir, runId)
     def stage(
         name: String,
         metrics: DataFrame => Seq[(String, Double)] = _ => Nil,
         partitionCols: Seq[String] = Nil
     )(
         compute: => DataFrame
-    ): DataFrame = {
-      val path = s"$runDir/$name"
-      if (!done(path)) {
-        val t0 = System.nanoTime()
-        compute.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
-        val out = spark.read.parquet(path)
-        val wallMs = (System.nanoTime() - t0) / 1e6
-        Lineage.writeLineage(out, name, runId, runDir)
-        Lineage.writeMetrics(spark, name, runId, metrics(out) :+ ("wall_ms" -> wallMs), runDir)
-      }
-      spark.read.parquet(path)
-    }
+    ): DataFrame = ck.stage(name, metrics, partitionCols)(compute)
 
     // internal long ids (see Cfg.dictIds/dictMode); the checkpointed
     // clusters table and the Result accessors expose original string
@@ -261,135 +420,8 @@ object Pipeline {
       if (cfg.compactCandidateFiles) base.repartition(cfg.scoreChunks, col(chunkCol))
       else base
     }
-    val chunkPruned = candidates.columns.contains(chunkCol)
-
-    // Stage S0 — doc representations, checkpointed once and shared by
-    // every scoring chunk (recomputing them per chunk would re-scan the
-    // whole input scoreChunks times)
-    graft.util.PhaseTracker.set("scoring")
-    val textRep = stage("text_rep")(Scoring.textRep(docs))
-    val mediaRep = stage("media_rep")(Scoring.mediaRep(docs))
-
-    // Stage S1 (scorePath-dependent):
-    //  - dict: dense span-text dictionary + id-encoded rep, checkpointed
-    //    once; the dictionary is broadcast once and every chunk's kernel
-    //    reads it (see Scoring.scoreWithRepsDict).
-    //  - pair: distinct-text-pair score table, left-joined per chunk.
-    require(Set("fused", "dict", "direct", "pair").contains(cfg.scorePath),
-      s"unknown scorePath '${cfg.scorePath}'")
-    // dictionary-size gate (see Cfg.dictMaxBytes): estimate the
-    // broadcast footprint from the checkpointed dictionary BEFORE
-    // collecting it; over budget → the unbounded direct path. The
-    // estimate is one pruned two-column aggregate (utf-8 bytes +
-    // 32 B/entry for the byte-array object header and table slot).
-    var dictBcastBytes = 0L
-    val wantDict = cfg.scorePath == "dict" || cfg.scorePath == "fused"
-    val dictSide =
-      if (wantDict) {
-        val dict = stage("text_dict")(Scoring.textDictDense(textRep))
-        val g = dict.agg(
-          coalesce(sum(octet_length(col("t"))), lit(0L)).as("b"),
-          count(lit(1)).as("n")
-        ).head()
-        dictBcastBytes = g.getLong(0) + 32L * g.getLong(1)
-        if (dictBcastBytes <= cfg.dictMaxBytes) {
-          val txtIds = stage("text_ids")(Scoring.textIdsRep(textRep, dict))
-          Some((txtIds, Scoring.broadcastDict(dict)))
-        } else {
-          System.err.println(
-            f"[pipeline] span-text dictionary ≈ ${dictBcastBytes / 1e6}%.0f MB exceeds " +
-              f"dictMaxBytes=${cfg.dictMaxBytes / 1e6}%.0f MB — falling back to scorePath=direct")
-          None
-        }
-      } else None
-    val scorePath = if (wantDict && dictSide.isEmpty) "direct" else cfg.scorePath
-    val pairScores =
-      if (scorePath == "pair")
-        Some(stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
-      else None
-
-    // one count on the checkpointed rep decides the fused path's rep
-    // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
-    val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
-      dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
-
-    // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
-    // each chunk commits independently (its own parquet _SUCCESS), the
-    // stage-level _SUCCESS commits last. A rerun skips finished chunks.
-    val scoredPath = s"$runDir/scored_pairs"
-    if (!done(scoredPath)) {
-      val t0 = System.nanoTime()
-      // chunk-count marker: the stage read below globs every chunk=*
-      // dir, so chunks committed by an earlier attempt with a DIFFERENT
-      // scoreChunks would silently duplicate scored pairs on resume.
-      // Mismatch => the old partition of the pair set is incompatible;
-      // drop all chunk dirs and start the stage over.
-      locally {
-        val marker = java.nio.file.Paths.get(s"$scoredPath/_chunks")
-        val prior =
-          if (java.nio.file.Files.exists(marker))
-            scala.util.Try(java.nio.file.Files.readString(marker).trim.toInt).toOption
-          else None
-        if (!prior.contains(cfg.scoreChunks)) {
-          val d = new java.io.File(scoredPath)
-          if (d.exists()) d.listFiles().filter(_.getName.startsWith("chunk=")).foreach { f =>
-            org.apache.commons.io.FileUtils.deleteQuietly(f)
-          }
-          java.nio.file.Files.createDirectories(marker.getParent)
-          java.nio.file.Files.writeString(marker, cfg.scoreChunks.toString)
-        }
-      }
-      // chunks are independent jobs — submit them CONCURRENTLY so the
-      // scheduler backfills each job's shuffle/commit barriers with the
-      // other chunks' tasks (sequential chunks left cores idle at every
-      // barrier: measured 0.56 scaling efficiency 8→32 before this)
-      val conc = sys.env.get("SPARK_GRAFT_SCORE_CONC").map(_.toInt)
-        .getOrElse(math.min(cfg.scoreChunks, 8))
-      val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, conc))
-      implicit val ec: scala.concurrent.ExecutionContext =
-        scala.concurrent.ExecutionContext.fromExecutor(pool)
-      val futs = (0 until cfg.scoreChunks).map { i =>
-        scala.concurrent.Future {
-          val cpath = s"$scoredPath/chunk=$i"
-          if (!done(cpath)) {
-            val chunk =
-              if (chunkPruned) candidates.where(col(chunkCol) === i)
-              else candidates.where(pmod(col("salt"), lit(cfg.scoreChunks)) === i)
-            (scorePath match {
-              case "fused" =>
-                val (txtIds, bc) = dictSide.get
-                Scoring.scoreWithRepsFused(chunk, txtIds, mediaRep, cfg.weights, bc, bcastReps)
-              case "dict" =>
-                val (txtIds, bc) = dictSide.get
-                Scoring.scoreWithRepsDict(chunk, txtIds, mediaRep, cfg.weights, bc)
-              case "pair" =>
-                Scoring.scoreWithReps(chunk, textRep, mediaRep, cfg.weights, pairScores)
-              case _ =>
-                Scoring.scoreWithRepsDirect(chunk, textRep, mediaRep, cfg.weights)
-            }).write.mode("overwrite").parquet(cpath)
-          }
-        }
-      }
-      try scala.concurrent.Await.result(
-        scala.concurrent.Future.sequence(futs),
-        scala.concurrent.duration.Duration.Inf
-      )
-      finally pool.shutdown()
-      val out = spark.read.parquet(scoredPath).drop("chunk")
-      val wallMs = (System.nanoTime() - t0) / 1e6
-      Lineage.writeLineage(out, "scored_pairs", runId, runDir)
-      Lineage.writeMetrics(spark, "scored_pairs", runId, Seq(
-        "scored_pairs" -> out.count().toDouble,
-        "matched_pairs" -> out.where(col("is_match")).count().toDouble,
-        // dictionary-gate audit trail: the estimated broadcast bytes and
-        // whether the run was forced off the fused/dict path
-        "dict_bcast_bytes" -> dictBcastBytes.toDouble,
-        "dict_fallback" -> (if (wantDict && dictSide.isEmpty) 1.0 else 0.0),
-        "wall_ms" -> wallMs
-      ), runDir)
-      new java.io.File(s"$scoredPath/_SUCCESS").createNewFile()
-    }
-    val scored = spark.read.parquet(scoredPath).drop("chunk")
+    // Stages S0/S1/S — shared with runDelta; see scoreStage
+    val scored = scoreStage(spark, ck, runDir, runId, cfg, docs, candidates, chunkCol)
 
     // Stage C
     graft.util.PhaseTracker.set("clustering")
