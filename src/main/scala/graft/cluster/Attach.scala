@@ -28,6 +28,12 @@ import org.apache.spark.sql.expressions.Window
   */
 object Attach {
 
+  /** Default `attachFloor`. Exposed so callers that pre-filter the
+    * evidence stream (Pipeline.runDelta pushes this bound into the
+    * ancestor scored-pairs parquet scan) stay in lockstep with the
+    * filter applied inside [[attachSingletons]]. */
+  val DefaultAttachFloor: Double = 2.0
+
   /** @param clusters  (doc_id, cluster_id) from ConnectedComponents
     * @param scored    stage-S output incl. mask_a/mask_b
     * @param attachFloor minimum best pair score to consider at all
@@ -35,7 +41,7 @@ object Attach {
   def attachSingletons(
       clusters: DataFrame,
       scored: DataFrame,
-      attachFloor: Double = 2.0,
+      attachFloor: Double = DefaultAttachFloor,
       minSpanBits: Int = 2,
       maxLocalMoves: Long = 2000000L
   ): DataFrame = {

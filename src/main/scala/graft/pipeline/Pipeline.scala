@@ -117,7 +117,18 @@ object Pipeline {
       // commits are expensive (object stores, degraded disks); off by
       // default because the extra shuffle + 8-task write serialization
       // costs more than it saves on healthy local disk.
-      compactCandidateFiles: Boolean = false
+      compactCandidateFiles: Boolean = false,
+      // persist the two artifacts a later incremental run (runDelta)
+      // consumes: the per-doc blocking key table (`keys` — so delta
+      // blocking joins new keys against it instead of re-shingling the
+      // corpus) and the PRE-attach connected-components assignments
+      // (`cc_assign` — delta contracts old edge endpoints to their HARD
+      // component label; the post-attach clusters table would glue
+      // sub-threshold attach evidence into the merge graph). Both are
+      // stored in the run's internal id space; runDelta checks the
+      // _dictids marker for compatibility. Off by default: a run that
+      // will never seed a delta shouldn't pay the keys write.
+      persistForDelta: Boolean = false
   )
 
   final case class Result(
@@ -165,7 +176,13 @@ object Pipeline {
       cfg: Cfg,
       docs: DataFrame,
       candidates: DataFrame,
-      chunkCol: String
+      chunkCol: String,
+      // media df-fraction table override (media_ref, dffrac): runDelta
+      // passes the MERGED corpus statistics so pairs scored over the
+      // touched slice see the same media rarity a full run over the
+      // whole corpus would — derived-from-`docs` statistics would make
+      // delta scores diverge from the full-run contract.
+      mediaDfFrac: Option[DataFrame] = None
   ): DataFrame = {
     val chunkPruned = candidates.columns.contains(chunkCol)
 
@@ -174,7 +191,10 @@ object Pipeline {
     // whole input scoreChunks times)
     graft.util.PhaseTracker.set("scoring")
     val textRep = ck.stage("text_rep")(Scoring.textRep(docs))
-    val mediaRep = ck.stage("media_rep")(Scoring.mediaRep(docs))
+    val mediaRep = ck.stage("media_rep")(mediaDfFrac match {
+      case Some(f) => Scoring.mediaRepWithDf(docs, f)
+      case None => Scoring.mediaRep(docs)
+    })
 
     // Stage S1 (scorePath-dependent):
     //  - dict: dense span-text dictionary + id-encoded rep, checkpointed
@@ -379,7 +399,13 @@ object Pipeline {
     // candidates checkpoint is absent), shared by the pair join and the
     // drop-accounting metrics.
     graft.util.PhaseTracker.set("blocking")
-    lazy val keys = Blocking.docKeys(docs, cfg.blocking).localCheckpoint(true)
+    // persistForDelta: the key table becomes a real checkpoint (the
+    // stage-B1 table a cluster deployment would write anyway) so a
+    // later runDelta can join against it; otherwise a localCheckpoint
+    // pin, recomputed only when the candidates stage is fresh.
+    lazy val keys =
+      if (cfg.persistForDelta) ck.stage("keys")(Blocking.docKeys(docs, cfg.blocking))
+      else Blocking.docKeys(docs, cfg.blocking).localCheckpoint(true)
     val candidates = stage(
       "candidates",
       out => {
@@ -420,6 +446,18 @@ object Pipeline {
       if (cfg.compactCandidateFiles) base.repartition(cfg.scoreChunks, col(chunkCol))
       else base
     }
+    // a resumed run must still end up delta-capable: force the keys
+    // stage (idempotent) even when the candidates checkpoint was hit,
+    // and persist the mergeable media corpus statistics (raw df COUNTS
+    // + n_docs — counts sum across increments exactly; the dffrac
+    // ratio does not) that runDelta folds its increment into
+    if (cfg.persistForDelta) {
+      keys
+      ck.stage("media_df")(Scoring.mediaDfCounts(docs))
+      ck.stage("corpus_stats")(
+        docs.agg(count(lit(1)).as("n_docs")))
+    }
+
     // Stages S0/S1/S — shared with runDelta; see scoreStage
     val scored = scoreStage(spark, ck, runDir, runId, cfg, docs, candidates, chunkCol)
 
@@ -437,12 +475,16 @@ object Pipeline {
       val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
       val r = ConnectedComponents.run(edges, docs.select("doc_id"), cfg.ccMaxIter)
       ccIters = r.iterations
+      val assign = r.assignments.localCheckpoint(true)
+      // pre-attach hard component labels, persisted for runDelta's
+      // contraction step (internal id space; see Cfg.persistForDelta)
+      if (cfg.persistForDelta) ck.stage("cc_assign")(assign)
       // C2: aggregate-evidence singleton attachment (see Attach), then
       // dictionary decode — the stored clusters table is user-facing
       // and carries original ids (cluster_id = the doc_id of the
       // min-nid member; deterministic, so resume stays byte-stable)
       mapBack(
-        Attach.attachSingletons(r.assignments.localCheckpoint(true), scored),
+        Attach.attachSingletons(assign, scored),
         Seq("doc_id", "cluster_id")
       ).repartitionByRange(col("cluster_id"), col("doc_id"))
     }
@@ -453,6 +495,285 @@ object Pipeline {
     // carries its writer's chunk_<old> partition column, which would
     // otherwise leak into Result.candidates and change its schema
     // between a fresh run and a resume
+    val chunkCols = candidates.columns.filter(_.matches("chunk_\\d+"))
+    Result(
+      mapBack(candidates.drop(chunkCols: _*), Seq("doc_a", "doc_b")),
+      mapBack(scored, Seq("doc_a", "doc_b")),
+      clusters,
+      ccIters
+    )
+  }
+
+  /** Incremental resolution: resolve `newDocs0` against a prior run's
+    * persisted state WITHOUT re-blocking, re-scoring or re-clustering
+    * the corpus — the operation that makes a 100 TB deployment
+    * maintainable (a daily 1% increment costs ~1% of a full run, not
+    * 100%). The prior run must have been executed with
+    * `Cfg.persistForDelta = true` (it then carries `keys` and the
+    * pre-attach `cc_assign` checkpoints); delta runs themselves write
+    * merged `keys` / `cc_assign` / `clusters`, so a delta dir is a
+    * valid prior for the NEXT delta (chained increments; re-baseline
+    * with a full run on whatever compaction cadence suits the corpus).
+    *
+    * Work done, by stage — everything is delta-sized except two
+    * explicitly linear-but-narrow passes (the pruned prior-key scan in
+    * delta blocking and the label-map join over the prior assignment
+    * table), and the two merged-artifact writes that keep the chain
+    * closed:
+    *  - B: keys for new docs only; [[Blocking.deltaCandidates]] against
+    *    the prior key table (semi-join-pruned to touched blocks).
+    *  - S: [[scoreStage]] verbatim, over candidates that all involve a
+    *    new doc; doc reps are built only for docs appearing in a delta
+    *    pair (prior docs semi-join-pruned), so no corpus re-scan.
+    *  - C: delta match edges are CONTRACTED — old endpoints map to
+    *    their prior HARD component label (`cc_assign`, pre-attach; the
+    *    post-attach table would glue sub-threshold attach evidence
+    *    into the merge graph) — then CC runs on the delta-sized
+    *    contracted graph. Full-run label equivalence: a prior hard
+    *    label is the min internal id of its members, so the contracted
+    *    component's min over {prior labels, new ids} equals the full
+    *    run's min over all members.
+    *  - C2: singleton attachment re-runs over the MERGED assignments
+    *    with the full evidence chain (this delta's scored pairs plus
+    *    every ancestor's, discovered via the `_parents` marker;
+    *    ancestor reads are pushdown-filtered to score ≥ attachFloor).
+    *    Same inputs as a full run's attach ⇒ same output.
+    *
+    * Equivalence contract (PipelineDeltaSpec). Delta-scored pairs are
+    * BIT-EQUAL to `run(A ∪ B)`'s: media rarity comes from the MERGED
+    * corpus statistics (`media_df` counts + n_docs, persisted and
+    * summed per increment), not from the touched slice. Two frozen
+    * quantities bound the residual difference vs a from-scratch run,
+    * both standard incremental semantics refreshed by a re-baseline:
+    * (1) prior pairs keep their at-scoring-time media-rarity — a
+    * score can drift where a media_ref's dffrac crossed
+    * `Weights.maxDfFrac` between snapshots; (2) over-cap block growth
+    * drops NEW pairs exactly like a full run but never revokes prior
+    * ones ([[Blocking.deltaCandidates]]). When neither boundary is
+    * crossed, the clusters table is EQUAL to `run(A ∪ B)`'s — exact
+    * on the spec's fixture for a single increment under default
+    * weights and for chained increments under df-threshold-free
+    * weights.
+    *
+    * `priorDocs0` (the resolved corpus) is read ONLY via pruned
+    * narrow projections/semi-joins; `dictMode = "dense"` is rejected
+    * (dense ids are a per-run dictionary — delta id spaces must be
+    * stable across runs, which "hash" and "off" are). */
+  def runDelta(
+      spark: SparkSession,
+      priorDocs0: DataFrame,
+      newDocs0: DataFrame,
+      priorRunDir: String,
+      runDir: String,
+      cfg: Cfg = Cfg()
+  ): Result = {
+    val runId = "delta"
+    new java.io.File(runDir).mkdirs()
+
+    val idMode = if (!cfg.dictIds) "off" else cfg.dictMode
+    require(idMode != "dense",
+      "runDelta requires a run-stable id space: dictMode='hash' (or dictIds=false); " +
+        "'dense' ids are a per-run dictionary")
+    // the prior run must be delta-capable and share the id space
+    locally {
+      val marker = java.nio.file.Paths.get(s"$priorRunDir/_dictids")
+      require(java.nio.file.Files.exists(marker), s"$priorRunDir has no _dictids marker")
+      val prior = java.nio.file.Files.readString(marker).trim match {
+        case "true" => "hash"
+        case "false" => "off"
+        case m => m
+      }
+      require(prior == idMode,
+        s"prior run dir $priorRunDir uses id mode '$prior' but this delta uses '$idMode'")
+    }
+    Seq("keys", "media_df", "corpus_stats", "cc_assign", "scored_pairs", "clusters").foreach { s =>
+      require(done(s"$priorRunDir/$s"),
+        s"$priorRunDir/$s missing or incomplete — the prior run must use Cfg.persistForDelta=true")
+    }
+    locally {
+      val marker = java.nio.file.Paths.get(s"$runDir/_dictids")
+      if (java.nio.file.Files.exists(marker))
+        require(java.nio.file.Files.readString(marker).trim == idMode,
+          s"delta run dir $runDir was written with a different id mode")
+      else java.nio.file.Files.writeString(marker, idMode)
+    }
+    // ancestor chain for attach evidence; this dir extends it by one
+    val parents: Seq[String] = {
+      val pm = java.nio.file.Paths.get(s"$priorRunDir/_parents")
+      val above =
+        if (java.nio.file.Files.exists(pm))
+          java.nio.file.Files.readAllLines(pm).toArray(Array.empty[String]).toSeq.filter(_.nonEmpty)
+        else Nil
+      above :+ priorRunDir
+    }
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$runDir/_parents"), parents.mkString("\n"))
+
+    val ck = new Ckpt(spark, runDir, runId)
+
+    def enc(df: DataFrame): DataFrame =
+      if (idMode == "off") df else df.withColumn("doc_id", xxhash64(col("doc_id")))
+    val docsNew = enc(newDocs0)
+
+    // nid → original-id dictionary for the output boundary: every id
+    // that can appear in the output is either a prior doc (all present
+    // in the prior clusters checkpoint — no corpus scan needed) or a
+    // new doc.
+    val priorClustersOrig = spark.read.parquet(s"$priorRunDir/clusters")
+    lazy val idMap = priorClustersOrig.select(col("doc_id").as("orig_id"))
+      .union(newDocs0.select(col("doc_id").as("orig_id")))
+      .distinct()
+      .select(col("orig_id"), xxhash64(col("orig_id")).as("nid"))
+    def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
+      if (idMode == "off") df
+      else idCols.foldLeft(df) { (d, c) =>
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
+          .drop(c)
+          .withColumnRenamed(s"${c}__s", c)
+      }
+
+    graft.util.PhaseTracker.set("blocking")
+    val priorKeys = spark.read.parquet(s"$priorRunDir/keys")
+    val keysNew = ck.stage("keys_new") {
+      // loud guards, both delta-sized: new ids must not collide with
+      // each other or the prior corpus (hash mode), and must be NEW
+      // (delta adds docs; upsert of an existing doc needs a retract,
+      // which increments cannot express)
+      if (idMode == "hash") {
+        val g = newDocs0.agg(
+          countDistinct(col("doc_id")).as("n"),
+          countDistinct(xxhash64(col("doc_id"))).as("nh")).head()
+        require(g.getLong(0) == g.getLong(1), "xxhash64 doc_id collision among new docs")
+      }
+      val overlap = docsNew.select("doc_id")
+        .join(spark.read.parquet(s"$priorRunDir/cc_assign").select("doc_id"), Seq("doc_id"), "left_semi")
+        .count()
+      require(overlap == 0L,
+        s"$overlap new doc ids already exist in the prior run — runDelta adds docs, it cannot upsert")
+      Blocking.docKeys(docsNew, cfg.blocking)
+    }
+
+    val chunkCol = s"chunk_${cfg.scoreChunks}"
+    val candidates = ck.stage(
+      "candidates",
+      out => Seq(
+        "candidate_pairs" -> out.count().toDouble,
+        "new_docs" -> docsNew.count().toDouble
+      ),
+      partitionCols = Seq(chunkCol)
+    ) {
+      val base = Blocking.deltaCandidates(keysNew, priorKeys, cfg.blocking)
+        .withColumn(chunkCol, pmod(col("salt"), lit(cfg.scoreChunks)).cast("int"))
+      if (cfg.compactCandidateFiles) base.repartition(cfg.scoreChunks, col(chunkCol))
+      else base
+    }
+    // merged key table — keeps the delta dir a valid prior for chaining
+    ck.stage("keys")(priorKeys.unionByName(keysNew))
+
+    // MERGED media corpus statistics: prior df counts + the increment's
+    // (full-outer sum — delta-sized new counts against the persisted
+    // vocabulary table), n_docs bumped by the increment. Checkpointed
+    // so the delta dir chains, and fed to scoreStage as the df-fraction
+    // override: pairs scored over the touched slice must see the media
+    // rarity of the WHOLE corpus (a full run over prior ∪ new computes
+    // exactly these fractions, so delta scores match it bit for bit).
+    val mergedDf = ck.stage("media_df") {
+      val priorDf = spark.read.parquet(s"$priorRunDir/media_df")
+      val newDf = Scoring.mediaDfCounts(docsNew)
+      priorDf.select(col("media_ref"), col("df").as("df_p"))
+        .join(newDf.select(col("media_ref"), col("df").as("df_n")), Seq("media_ref"), "full_outer")
+        .select(col("media_ref"),
+          (coalesce(col("df_p"), lit(0L)) + coalesce(col("df_n"), lit(0L))).as("df"))
+    }
+    val mergedStats = ck.stage("corpus_stats") {
+      val nPrior = spark.read.parquet(s"$priorRunDir/corpus_stats")
+      docsNew.agg(count(lit(1)).as("n_docs"))
+        .crossJoin(nPrior.select(col("n_docs").as("n_prior")))
+        .select((col("n_docs") + col("n_prior")).as("n_docs"))
+    }
+    // same arithmetic shape as Scoring.mediaRep: long df / double n
+    val dfFrac = mergedDf
+      .crossJoin(mergedStats.select(col("n_docs").cast("double").as("n_docs")))
+      .select(col("media_ref"), (col("df") / col("n_docs")).as("dffrac"))
+
+    // docs appearing in a delta pair: all new docs + the touched slice
+    // of the prior corpus (semi-join prune — the only read of
+    // priorDocs0, and it projects nothing until the join keeps a row)
+    val touchedIds = candidates
+      .select(col("doc_a").as("doc_id"))
+      .union(candidates.select(col("doc_b").as("doc_id")))
+      .distinct()
+    val docsTouched = docsNew.unionByName(
+      enc(priorDocs0).join(touchedIds, Seq("doc_id"), "left_semi"))
+
+    val scored =
+      scoreStage(spark, ck, runDir, runId, cfg, docsTouched, candidates, chunkCol, Some(dfFrac))
+
+    graft.util.PhaseTracker.set("clustering")
+    var ccIters = -1
+    val clusters = ck.stage(
+      "clusters",
+      out => Seq(
+        "docs" -> out.count().toDouble,
+        "clusters" -> out.select("cluster_id").distinct().count().toDouble,
+        "cc_iterations" -> ccIters.toDouble
+      )
+    ) {
+      val priorAssign = spark.read.parquet(s"$priorRunDir/cc_assign")
+      val edges = scored.where(col("is_match")).select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      // contract old endpoints to their prior hard label (new ids pass
+      // through: they have no row in priorAssign)
+      val lab = priorAssign.select(col("doc_id"), col("cluster_id").as("lab"))
+      val e2 = edges
+        .join(lab.withColumnRenamed("doc_id", "src"), Seq("src"), "left")
+        .withColumn("src2", coalesce(col("lab"), col("src"))).drop("lab")
+        .join(lab.withColumnRenamed("doc_id", "dst"), Seq("dst"), "left")
+        .withColumn("dst2", coalesce(col("lab"), col("dst"))).drop("lab")
+        .select(col("src2").as("src"), col("dst2").as("dst"))
+      // nodes: new docs (so unmatched new docs become singletons) plus
+      // contracted endpoints (implied by edges, but explicit is safe)
+      val nodes = docsNew.select("doc_id")
+        .union(e2.select(col("src").as("doc_id")))
+        .union(e2.select(col("dst").as("doc_id")))
+        .distinct()
+      val r = ConnectedComponents.run(e2, nodes, cfg.ccMaxIter)
+      ccIters = r.iterations
+      val comp = r.assignments.localCheckpoint(true)
+
+      // relabel the prior corpus through the (delta-sized) label map,
+      // union the new docs' labels → merged hard assignments
+      val labelMap = comp
+        .join(lab.select(col("lab").as("doc_id")).distinct(), Seq("doc_id"), "left_semi")
+        .where(col("cluster_id") =!= col("doc_id"))
+        .select(col("doc_id").as("lab"), col("cluster_id").as("lab2"))
+      val mergedAssign = priorAssign
+        .join(labelMap, priorAssign("cluster_id") === labelMap("lab"), "left")
+        .select(priorAssign("doc_id"), coalesce(col("lab2"), priorAssign("cluster_id")).as("cluster_id"))
+        .unionByName(comp.join(docsNew.select("doc_id"), Seq("doc_id"), "left_semi"))
+      val mergedCk = ck.stage("cc_assign")(mergedAssign)
+
+      // attach over the merged assignments with the FULL evidence
+      // chain — identical inputs to a full run's attach step. Ancestor
+      // scored-pairs reads push the attachFloor filter into parquet.
+      // one read per ancestor root (a single multi-path read trips
+      // partition-discovery on the chunk= layout's differing roots),
+      // each with the attach floor pushed into the parquet scan
+      val ancestorScored = parents
+        .map { p =>
+          spark.read
+            .option("basePath", s"$p/scored_pairs")
+            .parquet(s"$p/scored_pairs")
+            .drop("chunk")
+            .where(col("score") >= lit(Attach.DefaultAttachFloor))
+        }
+        .reduce(_.unionByName(_))
+      mapBack(
+        Attach.attachSingletons(mergedCk, scored.unionByName(ancestorScored)),
+        Seq("doc_id", "cluster_id")
+      ).repartitionByRange(col("cluster_id"), col("doc_id"))
+    }
+
+    graft.util.PhaseTracker.set("other")
     val chunkCols = candidates.columns.filter(_.matches("chunk_\\d+"))
     Result(
       mapBack(candidates.drop(chunkCols: _*), Seq("doc_a", "doc_b")),

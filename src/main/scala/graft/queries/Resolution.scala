@@ -97,6 +97,43 @@ object Resolution {
         .head().getLong(0)
       Seq((p, r, f1, pos, fp, dg))
         .toDF("precision", "recall", "f1", "labeled_pos", "false_pos", "assign_digest")
-    })
+    }),
+    // incremental-resolution contract, surfaced in the driver artifact:
+    // full run over A∪B vs run(A, persistForDelta) + runDelta(A, B),
+    // compared by the same order-insensitive assignment digest as
+    // pir_cluster_sizes. Runs at the fixed t1 scale regardless of sf
+    // dir (it is an invariant check, not a throughput surface — the
+    // sf-scaled pipeline already runs under pir_candidates/scored/
+    // clusters); `full_eq_delta` must be true, and both digests are
+    // deterministic for round-over-round diffing.
+    "pir_delta" -> ((s, _) => deltaEquivalence(s))
   )
+
+  private val deltaCache = new java.util.concurrent.atomic.AtomicReference[DataFrame]()
+
+  def deltaEquivalence(spark: SparkSession): DataFrame = {
+    Option(deltaCache.get()).getOrElse {
+      import spark.implicits._
+      val (docsPath, _) = Fixture.ensureWritten(spark, "t1")
+      val docs = spark.read.parquet(docsPath)
+      val docsA = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) < 3)
+      val docsB = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) === 3)
+      def tmp(tag: String) =
+        java.nio.file.Files.createTempDirectory(s"graft_pir_delta_$tag").toString
+      def digest(cl: DataFrame): Long = cl
+        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)))
+        .head().getLong(0)
+      val full = graft.pipeline.Pipeline.run(spark, docsA.unionByName(docsB), tmp("full"))
+      val priorDir = tmp("prior")
+      graft.pipeline.Pipeline.run(
+        spark, docsA, priorDir, graft.pipeline.Pipeline.Cfg(persistForDelta = true))
+      val delta = graft.pipeline.Pipeline.runDelta(spark, docsA, docsB, priorDir, tmp("delta"))
+      val (fd, dd) = (digest(full.clusters), digest(delta.clusters))
+      val out = Seq((fd, dd, fd == dd, full.clusters.count(), delta.candidates.count()))
+        .toDF("full_digest", "delta_digest", "full_eq_delta", "n_docs", "delta_pairs")
+        .localCheckpoint(true)
+      deltaCache.set(out)
+      out
+    }
+  }
 }

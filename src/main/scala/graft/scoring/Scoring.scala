@@ -83,7 +83,17 @@ object Scoring {
     * turns it into a broadcast join automatically. */
   def mediaRep(docs0: DataFrame): DataFrame = {
     val docs = graft.util.Parallelism.ensure(docs0)
-    val medias = docs.select(
+    val medias = docMediaRefs(docs)
+    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
+    val mediaDf = mediaDfCounts(docs)
+      .crossJoin(total)
+      .select(col("media_ref"), (col("df") / col("n_docs")).as("dffrac"))
+    mediaRepWithDf(medias, mediaDf)
+  }
+
+  /** (doc_id, media_ref) — one row per distinct media ref per doc. */
+  def docMediaRefs(docs: DataFrame): DataFrame =
+    docs.select(
       col("doc_id"),
       explode(
         array_distinct(
@@ -94,14 +104,28 @@ object Scoring {
         )
       ).as("media_ref")
     )
-    val total = docs.agg(count(lit(1)).cast("double").as("n_docs"))
-    val mediaDf = medias
-      .groupBy("media_ref")
-      .agg(count(lit(1)).as("df"))
-      .crossJoin(total)
-      .select(col("media_ref"), (col("df") / col("n_docs")).as("dffrac"))
+
+  /** Raw media document-frequency COUNTS (media_ref, df) — the
+    * mergeable corpus statistic behind [[mediaRep]]'s dffrac. An
+    * incremental run adds its increment's counts to the persisted
+    * table and bumps n_docs (Pipeline.runDelta); full-outer sum of
+    * counts over a partition of the corpus equals the combined run's
+    * counts exactly, which dffrac (a ratio of floats) does not. */
+  def mediaDfCounts(docs: DataFrame): DataFrame =
+    docMediaRefs(docs).groupBy("media_ref").agg(count(lit(1)).as("df"))
+
+  /** Per-doc media arrays from an EXPLICIT df-fraction table
+    * (media_ref, dffrac) — the statistics are an input, not derived
+    * from the docs at hand, so an incremental run scoring only the
+    * touched slice of the corpus sees the same rarity as a full run
+    * over the whole corpus. `mediasOrDocs` accepts either the exploded
+    * (doc_id, media_ref) frame or raw docs. */
+  def mediaRepWithDf(mediasOrDocs: DataFrame, dfFrac: DataFrame): DataFrame = {
+    val medias =
+      if (mediasOrDocs.columns.contains("media_ref")) mediasOrDocs
+      else docMediaRefs(graft.util.Parallelism.ensure(mediasOrDocs))
     medias
-      .join(mediaDf, "media_ref")
+      .join(dfFrac, "media_ref")
       .groupBy("doc_id")
       // sort_array: collect_list order is nondeterministic and the
       // rare/common double sum in mediaScore is order-sensitive at ulp
