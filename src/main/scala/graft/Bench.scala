@@ -120,6 +120,16 @@ object Bench {
       } finally f.delete()
     }
     val diskW0 = scala.util.Try(diskWMBps()).getOrElse(-1.0)
+    // sustained-load steal probe (round-5 burn-ladder lesson): this
+    // host's steal only appears under sustained all-core demand, so an
+    // idle-ish probe cannot certify the window for the run that
+    // follows. 20 s of pure-userland burn BEFORE the timed section
+    // records whether the host was already contended at the start —
+    // distinguishing "window was bad from the outset" from "window
+    // degraded mid-run" (the whole-run host_steal_s field covers the
+    // latter).
+    val (loadSteal0, loadSys0) =
+      scala.util.Try(graft.util.LoadProbe.stealUnderLoad()).getOrElse((-1.0, -1.0))
     val stat0 = scala.util.Try(procStatParts()).getOrElse(Array.empty[Long])
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
@@ -224,7 +234,11 @@ object Bench {
         statDelta(2, 5, 6) > 0.25 * (cpuNs.get / 1e9)) -> "host_sys_cpu",
       (stat0.length > 7 && stat1.length > 7 && statDelta(7) > 60.0) -> "host_steal",
       (math.min(memBw0, memBw1) > 0 && math.min(memBw0, memBw1) < 70.0) -> "mem_bw",
-      (math.min(diskW0, diskW1) > 0 && math.min(diskW0, diskW1) < 60.0) -> "disk_w"
+      (math.min(diskW0, diskW1) > 0 && math.min(diskW0, diskW1) < 60.0) -> "disk_w",
+      // loaded-steal mode: host withheld CPU under the pre-run burn
+      // (threshold shared with tools.Weather; clean ladder reading
+      // 0.03 cores at 8 threads, degraded 0.6-2.1 at 16-32)
+      (loadSteal0 > 0.3) -> "steal_under_load"
     ).collect { case (true, r) => r }
     val window =
       if (windowReasons.isEmpty) """"window":"clean","""
@@ -239,6 +253,8 @@ object Bench {
         s""""mem_bw_gbps_end":${math.round(memBw1 * 100) / 100.0},""" +
         s""""disk_w_mbps_start":${math.round(diskW0 * 10) / 10.0},""" +
         s""""disk_w_mbps_end":${math.round(diskW1 * 10) / 10.0},""" +
+        s""""load_steal_cores_start":${math.round(loadSteal0 * 100) / 100.0},""" +
+        s""""load_sys_cores_start":${math.round(loadSys0 * 100) / 100.0},""" +
         s""""load_avg_start":$load0,"load_avg_end":${loadAvg()}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},$env}"""

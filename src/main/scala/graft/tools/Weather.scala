@@ -47,16 +47,28 @@ object Weather {
     val sysRate = (d(2) + d(5) + d(6)) / wall // system+irq+softirq core-s/s
     val stealRate = (if (s0.length > 7) d(7) else 0.0) / wall
     val disk = scala.util.Try(diskWMBps()).getOrElse(-1.0)
+    // Round-5 burn-ladder lesson: steal is LOAD-DEPENDENT on this host —
+    // the short sweep above reads ~0 steal in windows where a sustained
+    // all-core burn measures 1-2+ stolen cores (and a 32-thread Spark
+    // run then drowns in lock-holder-preemption kernel spin). The
+    // 20-s loaded probe is the one that certifies a window for an
+    // all-core bench; skip with "fast" when only the idle read is
+    // wanted.
+    val (loadSteal, loadSys) =
+      if (args.headOption.contains("fast")) (-1.0, -1.0)
+      else graft.util.LoadProbe.stealUnderLoad()
     val reasons = Seq(
       (bw < 70.0) -> "mem_bw",
       (disk >= 0 && disk < 60.0) -> "disk_w",
       (stealRate > 0.3) -> "steal",
-      (sysRate > 2.0) -> "host_sys"
+      (sysRate > 2.0) -> "host_sys",
+      (loadSteal > 0.3) -> "steal_under_load"
     ).collect { case (true, r) => r }
     val window = if (reasons.isEmpty) "clean" else "degraded"
     println(
       f"""{"ts":${System.currentTimeMillis / 1000},"window":"$window","reasons":[${reasons.map("\"" + _ + "\"").mkString(",")}],""" +
-        f""""mem_bw_gbps":$bw%.2f,"disk_w_mbps":$disk%.1f,"steal_cores":$stealRate%.2f,"sys_cores":$sysRate%.2f}"""
+        f""""mem_bw_gbps":$bw%.2f,"disk_w_mbps":$disk%.1f,"steal_cores":$stealRate%.2f,"sys_cores":$sysRate%.2f,""" +
+        f""""load_steal_cores":$loadSteal%.2f,"load_sys_cores":$loadSys%.2f}"""
     )
   }
 }
