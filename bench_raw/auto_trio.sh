@@ -39,9 +39,22 @@ run_bench() { # $1 = cores
   return 1
 }
 
+busy_with_builds() {
+  # don't fire (or even probe) while the session's own sbt/test JVMs
+  # run — in-guest load never shows as steal, so a probe could read
+  # clean and the fired bench would carry foreign user CPU instead.
+  # We are the only tenant in this guest, so 1-min loadavg > 4 at
+  # probe time means our own builds are running (idle box sits < 1).
+  awk '{exit !($1 > 4)}' /proc/loadavg
+}
+
 need=(32 8 2)
 tries=${1:-120} # probe attempts (~4 min apart => ~8 h max)
 for ((i = 0; i < tries && ${#need[@]} > 0; i++)); do
+  if busy_with_builds; then
+    sleep 210
+    continue
+  fi
   if probe_clean; then
     c=${need[0]}
     if run_bench "$c"; then

@@ -510,16 +510,20 @@ object Pipeline {
     * maintainable (a daily 1% increment costs ~1% of a full run, not
     * 100%). The prior run must have been executed with
     * `Cfg.persistForDelta = true` (it then carries `keys` and the
-    * pre-attach `cc_assign` checkpoints); delta runs themselves write
-    * merged `keys` / `cc_assign` / `clusters`, so a delta dir is a
-    * valid prior for the NEXT delta (chained increments; re-baseline
-    * with a full run on whatever compaction cadence suits the corpus).
+    * pre-attach `cc_assign` checkpoints); delta runs write their own
+    * delta-sized `keys_new` plus merged `cc_assign` / `media_df` /
+    * `clusters`, so a delta dir is a valid prior for the NEXT delta —
+    * the key table resolves as the union of `keys_new` down the
+    * `_parents` chain to the last full `keys` base (chained
+    * increments; a re-baseline full run compacts the chain on
+    * whatever cadence suits the corpus).
     *
     * Work done, by stage — everything is delta-sized except two
     * explicitly linear-but-narrow passes (the pruned prior-key scan in
     * delta blocking and the label-map join over the prior assignment
-    * table), and the two merged-artifact writes that keep the chain
-    * closed:
+    * table), and the merged `cc_assign` write that keeps the chain
+    * closed (same size class as the user-facing clusters table every
+    * run must write anyway; `media_df` is vocabulary-sized):
     *  - B: keys for new docs only; [[Blocking.deltaCandidates]] against
     *    the prior key table (semi-join-pruned to touched blocks).
     *  - S: [[scoreStage]] verbatim, over candidates that all involve a
@@ -586,7 +590,7 @@ object Pipeline {
       require(prior == idMode,
         s"prior run dir $priorRunDir uses id mode '$prior' but this delta uses '$idMode'")
     }
-    Seq("keys", "media_df", "corpus_stats", "cc_assign", "scored_pairs", "clusters").foreach { s =>
+    Seq("media_df", "corpus_stats", "cc_assign", "scored_pairs", "clusters").foreach { s =>
       require(done(s"$priorRunDir/$s"),
         s"$priorRunDir/$s missing or incomplete — the prior run must use Cfg.persistForDelta=true")
     }
@@ -633,7 +637,26 @@ object Pipeline {
       }
 
     graft.util.PhaseTracker.set("blocking")
-    val priorKeys = spark.read.parquet(s"$priorRunDir/keys")
+    // The prior key table is CHAINED, not merged: walking the parent
+    // chain backward, each delta dir contributes its delta-sized
+    // `keys_new` until the first dir carrying a full `keys` table (a
+    // full run or a re-baseline) closes the union. A merged rewrite
+    // per increment would be the one corpus-linear WRITE in the delta
+    // path — chaining turns it into O(parents) narrow reads instead,
+    // and a re-baseline run compacts the chain on whatever cadence
+    // suits the corpus.
+    val priorKeys = {
+      val (deltaDirs, baseAndAbove) = parents.reverse.span(p => !done(s"$p/keys"))
+      require(baseAndAbove.nonEmpty,
+        s"no full key table found on the prior chain ${parents.mkString(" -> ")} — " +
+          "the chain's base run must use Cfg.persistForDelta=true")
+      deltaDirs.foreach { p =>
+        require(done(s"$p/keys_new"), s"$p/keys_new missing or incomplete on the prior chain")
+      }
+      (deltaDirs.map(p => s"$p/keys_new") :+ s"${baseAndAbove.head}/keys")
+        .map(spark.read.parquet(_))
+        .reduce(_.unionByName(_))
+    }
     val keysNew = ck.stage("keys_new") {
       // loud guards, both delta-sized: new ids must not collide with
       // each other or the prior corpus (hash mode), and must be NEW
@@ -667,8 +690,10 @@ object Pipeline {
       if (cfg.compactCandidateFiles) base.repartition(cfg.scoreChunks, col(chunkCol))
       else base
     }
-    // merged key table — keeps the delta dir a valid prior for chaining
-    ck.stage("keys")(priorKeys.unionByName(keysNew))
+    // NO merged key table: the delta dir's `keys_new` plus the
+    // `_parents` chain IS the key table for the next increment (see
+    // priorKeys above) — writing the merged union here would be the
+    // only corpus-linear write in the delta path.
 
     // MERGED media corpus statistics: prior df counts + the increment's
     // (full-outer sum — delta-sized new counts against the persisted
