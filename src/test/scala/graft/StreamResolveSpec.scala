@@ -1,0 +1,86 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.schema.{Doc, Fixture}
+import graft.pipeline.Pipeline
+import graft.streaming.StreamResolve
+import java.nio.file.Files
+
+/** Streaming incremental resolution (StreamResolve): two micro-batches
+  * of new docs over a resolved base must leave the SAME clusters table
+  * as one full run over everything (df-threshold-free weights — the
+  * same exactness regime as PipelineDeltaSpec's chained test), and a
+  * replayed micro-batch (foreachBatch's failure semantics) must resume
+  * idempotently rather than recompute or double-count.
+  */
+class StreamResolveSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private lazy val docs = Fixture.docs(spark, Fixture.scales("t1")).cache()
+  private def part(m: Int) = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) === m)
+  private lazy val docsA = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) < 3)
+
+  private def dir(tag: String) = Files.createTempDirectory(s"graft_stream_resolve_$tag").toString
+
+  private val w = graft.scoring.Scoring.Weights(maxDfFrac = 1.0)
+  private val cfg = Pipeline.Cfg(weights = w)
+
+  private def assertSameRows(a: DataFrame, b: DataFrame, what: String): Unit = {
+    val cols = a.columns.sorted.map(col).toSeq
+    val (x, y) = (a.select(cols: _*), b.select(cols: _*))
+    val extra = x.exceptAll(y).count()
+    val missing = y.exceptAll(x).count()
+    assert(extra == 0 && missing == 0, s"$what: extra=$extra missing=$missing")
+  }
+
+  test("two streamed increments == one full run; replayed batch resumes idempotently") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val baseDir = dir("base")
+    Pipeline.run(spark, docsA.toDF(), baseDir, Pipeline.Cfg(weights = w, persistForDelta = true))
+
+    val chainDir = dir("chain")
+    StreamResolve.seedCorpus(docsA.toDF(), chainDir)
+
+    val in = MemoryStream[Doc]
+    val q = StreamResolve
+      .sink(in.toDF(), baseDir, chainDir, cfg)
+      .option("checkpointLocation", dir("ckpt"))
+      .start()
+    try {
+      in.addData(part(3).collect().toSeq) // batch 0
+      q.processAllAvailable()
+      in.addData(part(4).collect().toSeq) // batch 1
+      q.processAllAvailable()
+    } finally q.stop()
+
+    val streamed = StreamResolve.latestClusters(spark, chainDir, baseDir)
+    val full = Pipeline.run(spark, docs.toDF(), dir("full"), cfg)
+    assertSameRows(streamed, full.clusters, "streamed clusters")
+
+    // replay the LAST batch (foreachBatch redelivers after a failure):
+    // every stage is _SUCCESS-complete, so the replay must resume to an
+    // identical clusters table without recomputation or upsert errors
+    StreamResolve.resolveBatch(part(4).toDF(), 1L, baseDir, chainDir, cfg)
+    assertSameRows(
+      StreamResolve.latestClusters(spark, chainDir, baseDir),
+      full.clusters,
+      "replayed clusters")
+
+    // the chain did delta-sized work: batch-1 candidates all touch a
+    // batch-1 doc
+    val cand1 = spark.read.parquet(s"$chainDir/runs/b1/candidates")
+    val b1ids = part(4).toDF().select(col("doc_id"))
+    val nid = (c: String) => xxhash64(col(c)) // runDelta default hash id space
+    val untouched = cand1
+      .join(b1ids.select(nid("doc_id").as("doc_a")), Seq("doc_a"), "left_anti")
+      .join(b1ids.select(nid("doc_id").as("doc_b")), Seq("doc_b"), "left_anti")
+      .count()
+    assert(untouched == 0, s"$untouched batch-1 candidate pairs touch no batch-1 doc")
+  }
+}
