@@ -151,6 +151,26 @@ object Analytics5 {
         .select(col("doc_a"), col("doc_b"), col("key_kind"), col("block_key"))
     }),
 
+    // ---- PRODUCTION delta blocking (Blocking.deltaCandidates,
+    //      identical code to Pipeline.runDelta's stage B) on md5-arith
+    //      band keys: docs split 80/20 by id-md5 into prior corpus vs
+    //      increment; DuckDB recomputes the touched-block prune, the
+    //      COMBINED census + cap, the new-endpoint pair filter and the
+    //      witness dedup exactly. Cap is q38's (engages on the fixture),
+    //      so the semantics "combined growth drops new pairs like a
+    //      full run" is exercised cross-engine, not just plumbed ----
+    "q42_delta_blocking_md5" -> ((s, dir) => {
+      val keys = graft.ops.Dedup.blockingKeysMd5(docsStr(s, dir), q32Cfg)
+      val isNew =
+        pmod(conv(substring(md5(col("doc_id")), 1, 15), 16, 10).cast("long"), lit(5)) === 0
+      graft.blocking.Blocking
+        .deltaCandidates(
+          keys.where(isNew),
+          keys.where(!isNew),
+          graft.blocking.Blocking.Cfg(maxBlockSize = q38Cap))
+        .select(col("doc_a"), col("doc_b"), col("key_kind"), col("block_key"))
+    }),
+
     // ---- the Levenshtein rescue-band arithmetic vs DuckDB, on every
     //      pair of a deterministic md5 sample of normalized doc texts
     //      (1 − lev/maxlen, the exact stage-S rescue similarity).
@@ -306,6 +326,36 @@ object Analytics5 {
        FROM pairs)
      SELECT doc_a, doc_b, key_kind, block_key FROM w WHERE rn = 1"""
 
+  /** q42 oracle: the delta-blocking decomposition in DuckDB — same
+    * 80/20 id-md5 split as the query, touched-block prune (blocks with
+    * a new-doc key), census over the pruned union (COMBINED sizes, the
+    * full-run cap semantics), pairs restricted to a new endpoint,
+    * identical witness dedup. */
+  private def deltaBlockingOracle: String =
+    md5BandedCtes(q32Cfg) +
+      s""",
+     flagged AS (
+       SELECT id, band, bk,
+         (CAST(('0x' || substr(md5(id), 1, 15)) AS BIGINT) % 5 = 0) AS is_new
+       FROM banded),
+     touched AS (SELECT DISTINCT band, bk FROM flagged WHERE is_new),
+     u AS (SELECT f.* FROM flagged f JOIN touched t ON f.band = t.band AND f.bk = t.bk),
+     census AS (SELECT band, bk, count(*) AS n FROM u GROUP BY 1, 2),
+     kept AS (
+       SELECT u.id, u.band, u.bk, u.is_new FROM u
+       JOIN census c ON u.band = c.band AND u.bk = c.bk
+       WHERE c.n <= $q38Cap),
+     pairs AS (
+       SELECT a.id AS doc_a, b.id AS doc_b,
+         'b' || lpad(CAST(a.band AS VARCHAR), 2, '0') AS key_kind, a.bk AS block_key
+       FROM kept a JOIN kept b
+         ON a.band = b.band AND a.bk = b.bk AND a.id < b.id AND (a.is_new OR b.is_new)),
+     w AS (
+       SELECT doc_a, doc_b, key_kind, block_key,
+         row_number() OVER (PARTITION BY doc_a, doc_b ORDER BY key_kind, block_key) AS rn
+       FROM pairs)
+     SELECT doc_a, doc_b, key_kind, block_key FROM w WHERE rn = 1"""
+
   /** q33 oracle: identical winnowing — window-of-8 minima over the
     * md5 shingle-hash list, distinct; complete windows only, short
     * docs keep their one global min. */
@@ -392,6 +442,7 @@ object Analytics5 {
          SELECT id AS vid, min(lbl) AS comp FROM walk GROUP BY id"""),
     "q35_kmeans_det" -> kmeansOracle(k = 3, iters = 3, dim = 64),
     "q38_blocking_md5" -> blockingOracle,
+    "q42_delta_blocking_md5" -> deltaBlockingOracle,
     "q39_lev_rescue" ->
       """WITH t AS (
            SELECT CAST(doc_id AS VARCHAR) AS id,
