@@ -504,6 +504,34 @@ object Pipeline {
     )
   }
 
+  /** Cluster CDC between two runs' user-facing clusters checkpoints —
+    * what a downstream consumer at 100 TB actually wants from an
+    * increment (the rows that changed, not a full-table re-read).
+    * One narrow full-outer join over the two 2-column tables (the
+    * cheapest possible corpus-linear pass; the OUTPUT is delta-sized):
+    *   - `added`   — doc only in the new run (the increment's docs),
+    *   - `moved`   — doc present in both with a different cluster
+    *     (cluster merges via edge contraction, attach flips under new
+    *     evidence),
+    *   - `removed` — doc only in the prior run (never produced by
+    *     runDelta, which cannot retract; present for re-baseline
+    *     diffs).
+    * Applying the changes to the prior table reproduces the new one
+    * exactly (PipelineDeltaSpec). */
+  def clusterChanges(spark: SparkSession, priorRunDir: String, runDir: String): DataFrame = {
+    val old = spark.read.parquet(s"$priorRunDir/clusters")
+      .select(col("doc_id"), col("cluster_id").as("old_cluster"))
+    val nw = spark.read.parquet(s"$runDir/clusters")
+      .select(col("doc_id"), col("cluster_id").as("new_cluster"))
+    old.join(nw, Seq("doc_id"), "full_outer")
+      .where(not(col("old_cluster") <=> col("new_cluster")))
+      .withColumn(
+        "change_kind",
+        when(col("old_cluster").isNull, lit("added"))
+          .when(col("new_cluster").isNull, lit("removed"))
+          .otherwise(lit("moved")))
+  }
+
   /** Incremental resolution: resolve `newDocs0` against a prior run's
     * persisted state WITHOUT re-blocking, re-scoring or re-clustering
     * the corpus — the operation that makes a 100 TB deployment

@@ -114,6 +114,30 @@ class PipelineDeltaSpec extends AnyFunSuite {
     assertSameRows(d2.clusters, full.clusters, "clusters A∪B∪C")
   }
 
+  test("clusterChanges CDC: delta-sized, kinds correct, replays prior → delta exactly") {
+    d1 // force both runs
+    val ch = Pipeline.clusterChanges(spark, dirPrior, dirD1).cache()
+    // every B doc appears as 'added'; nothing is 'removed' (runDelta
+    // cannot retract); 'moved' rows are prior docs with a changed label
+    val added = ch.where(col("change_kind") === "added")
+    assert(added.count() == docsB.count())
+    assert(
+      added.join(docsB.select("doc_id"), Seq("doc_id"), "left_anti").count() == 0,
+      "an 'added' doc is not an increment doc")
+    assert(ch.where(col("change_kind") === "removed").count() == 0)
+    val movedBad = ch.where(col("change_kind") === "moved")
+      .join(docsA.select("doc_id"), Seq("doc_id"), "left_anti").count()
+    assert(movedBad == 0, s"$movedBad 'moved' docs are not prior docs")
+    // replay: prior clusters + changes == delta clusters, row for row
+    val prior = spark.read.parquet(s"$dirPrior/clusters")
+    val replayed = prior
+      .join(ch.select("doc_id"), Seq("doc_id"), "left_anti")
+      .unionByName(
+        ch.where(col("new_cluster").isNotNull)
+          .select(col("doc_id"), col("new_cluster").as("cluster_id")))
+    assertSameRows(replayed, d1.clusters, "replayed clusters")
+  }
+
   test("guards: dense ids, non-delta prior, and doc upserts are rejected loudly") {
     // dense ids are a per-run dictionary — no stable cross-run id space
     val e1 = intercept[IllegalArgumentException] {
