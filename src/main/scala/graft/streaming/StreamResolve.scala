@@ -87,6 +87,43 @@ object StreamResolve {
   def seedCorpus(baseDocs: DataFrame, chainDir: String): Unit =
     baseDocs.write.mode("overwrite").parquet(s"$chainDir/corpus/base")
 
+  /** Re-baseline: compact the chain into a fresh full run — refreshes
+    * the frozen prior-pair statistics, collapses the keys_new chain and
+    * the attach evidence walk back to single tables, and bounds chain
+    * length. An OFFLINE operation between stream restarts (stop the
+    * query, rebaseline, restart the sink with the returned dir as
+    * `baseRunDir`): the full run reads the whole corpus (`corpus/ * /`),
+    * runs with `persistForDelta = true` into `chainDir/base_r<n>`,
+    * archives `runs/` to `runs_before_r<n>/`, and re-seeds the corpus
+    * as a single subdir. Returns the new base run dir. */
+  def rebaseline(
+      spark: SparkSession,
+      chainDir: String,
+      cfg: graft.pipeline.Pipeline.Cfg = graft.pipeline.Pipeline.Cfg()
+  ): String = {
+    val gen = Iterator.from(0)
+      .map(n => new java.io.File(s"$chainDir/base_r$n"))
+      .dropWhile(_.exists()).next()
+    val corpus = spark.read.parquet(s"$chainDir/corpus/*")
+    graft.pipeline.Pipeline.run(
+      spark, corpus, gen.getAbsolutePath, cfg.copy(persistForDelta = true))
+    // archive the superseded chain links; future batches chain from the
+    // new base (pass it as baseRunDir when restarting the sink)
+    val runs = new java.io.File(s"$chainDir/runs")
+    if (runs.exists())
+      require(runs.renameTo(new java.io.File(s"$chainDir/runs_before_${gen.getName.stripPrefix("base_")}")),
+        s"could not archive $runs")
+    // compact the corpus to one subdir (idempotent overwrite), so the
+    // next rebaseline's multi-path read stays bounded
+    val compact = corpus.localCheckpoint(true)
+    val corpusRoot = new java.io.File(s"$chainDir/corpus")
+    compact.write.mode("overwrite").parquet(s"$chainDir/corpus_next/base")
+    org.apache.commons.io.FileUtils.deleteQuietly(corpusRoot)
+    require(new java.io.File(s"$chainDir/corpus_next").renameTo(corpusRoot),
+      "could not swap compacted corpus into place")
+    gen.getAbsolutePath
+  }
+
   /** The continuously-maintained clusters table (latest chain link). */
   def latestClusters(spark: SparkSession, chainDir: String, baseRunDir: String): DataFrame = {
     val dir = latestRunBelow(chainDir, Long.MaxValue).getOrElse(baseRunDir)

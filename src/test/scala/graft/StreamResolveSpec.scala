@@ -83,4 +83,43 @@ class StreamResolveSpec extends AnyFunSuite {
       .count()
     assert(untouched == 0, s"$untouched batch-1 candidate pairs touch no batch-1 doc")
   }
+
+  test("rebaseline compacts the chain offline and the stream continues from the new base") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+
+    val docsA2 = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) < 2)
+    val baseDir = dir("rb_base")
+    Pipeline.run(spark, docsA2.toDF(), baseDir, Pipeline.Cfg(weights = w, persistForDelta = true))
+    val chainDir = dir("rb_chain")
+    StreamResolve.seedCorpus(docsA2.toDF(), chainDir)
+
+    // first stream segment: one increment, then stop
+    val in1 = MemoryStream[graft.schema.Doc]
+    val q1 = StreamResolve.sink(in1.toDF(), baseDir, chainDir, cfg)
+      .option("checkpointLocation", dir("rb_ck1")).start()
+    try { in1.addData(part(2).collect().toSeq); q1.processAllAvailable() } finally q1.stop()
+
+    // offline compaction: chain links archived, corpus compacted, and
+    // the new base IS a full run over everything so far
+    val newBase = StreamResolve.rebaseline(spark, chainDir, cfg)
+    assert(!new java.io.File(s"$chainDir/runs").exists(), "runs/ not archived")
+    val fullSoFar = Pipeline.run(
+      spark, docsA2.unionByName(part(2)).toDF(), dir("rb_full1"), cfg)
+    assertSameRows(
+      spark.read.parquet(s"$newBase/clusters"), fullSoFar.clusters, "rebaselined clusters")
+
+    // second stream segment chains from the new base
+    val in2 = MemoryStream[graft.schema.Doc]
+    val q2 = StreamResolve.sink(in2.toDF(), newBase, chainDir, cfg)
+      .option("checkpointLocation", dir("rb_ck2")).start()
+    try { in2.addData(part(3).collect().toSeq); q2.processAllAvailable() } finally q2.stop()
+
+    val full = Pipeline.run(
+      spark, docs.where(pmod(xxhash64(col("doc_id")), lit(5)) < 4).toDF(), dir("rb_full2"), cfg)
+    assertSameRows(
+      StreamResolve.latestClusters(spark, chainDir, newBase),
+      full.clusters,
+      "post-rebaseline streamed clusters")
+  }
 }
