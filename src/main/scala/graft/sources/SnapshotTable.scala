@@ -1,0 +1,131 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+/** Snapshot-versioned parquet table — the honest stand-in for the
+  * Iceberg runtime behaviors the north rule names (snapshot log,
+  * time-travel reads, metadata-only rollback) in a sandbox that ships
+  * no Iceberg jars. Same metadata discipline at miniature scale:
+  *
+  *   root/_manifests/v<N>.json   one line: version, dataDir, parent,
+  *                               note — the snapshot log
+  *   root/data/v<N>/             immutable parquet data files
+  *
+  * Iceberg semantics preserved:
+  *   - a WRITER commits data first, manifest last, via atomic
+  *     temp+rename of the manifest file — readers never observe a
+  *     half-written snapshot, and a crashed writer leaves only an
+  *     unreferenced data dir (Iceberg's orphan files);
+  *   - optimistic concurrency: the rename fails loudly if the version
+  *     was taken by a concurrent committer;
+  *   - ROLLBACK is metadata-only: a new snapshot whose dataDir points
+  *     at the restored version's files — no data copy, history intact
+  *     (Iceberg's `rollback_to_snapshot` creates a new metadata entry);
+  *   - time travel: `readAsOf(version)` reads any retired snapshot.
+  *
+  * (reference analog: src/db/schema.sql versioned model tables +
+  * the checkpoint/rollback flow in the model registry; Pipeline's
+  * `_SUCCESS`-gated stage dirs are the same commit discipline one
+  * level down.)
+  */
+object SnapshotTable {
+
+  private def manifestDir(root: String) = Paths.get(root, "_manifests")
+
+  /** Committed versions, ascending. */
+  def versions(root: String): Seq[Int] = {
+    val d = manifestDir(root)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      val vs = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+        .map(_.getFileName.toString)
+        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+          s.stripPrefix("v").stripSuffix(".json").toInt
+        }
+        .toSeq
+      vs.sorted
+    }
+  }
+
+  private def manifest(root: String, v: Int): Map[String, String] = {
+    val txt = Files.readString(manifestDir(root).resolve(s"v$v.json")).trim
+    // flat single-level JSON of string/number fields — parsed without a
+    // JSON lib dependency (written by `commit` below, shape is ours)
+    txt.stripPrefix("{").stripSuffix("}").split(",(?=\")").map { kv =>
+      val Array(k, value) = kv.split(":", 2)
+      k.trim.stripPrefix("\"").stripSuffix("\"") ->
+        value.trim.stripPrefix("\"").stripSuffix("\"")
+    }.toMap
+  }
+
+  /** Atomically commit a manifest for `v`; fails loudly if a concurrent
+    * committer took the version (optimistic concurrency).
+    * Package-private so the spec can drive the collision path directly
+    * (the version-pick-to-rename race window is not reachable from the
+    * public API without a scheduler hook). */
+  private[graft] def commit(root: String, v: Int, dataDir: String, parent: Int, note: String): Unit = {
+    Files.createDirectories(manifestDir(root))
+    val json =
+      s"""{"version":"$v","dataDir":"$dataDir","parent":"$parent","note":"${note.replace("\"", "'")}"}"""
+    val tmp = manifestDir(root).resolve(s".v$v.json.tmp${System.nanoTime()}")
+    Files.writeString(tmp, json)
+    val target = manifestDir(root).resolve(s"v$v.json")
+    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        Files.deleteIfExists(tmp)
+        throw new IllegalStateException(
+          s"snapshot v$v of $root was committed concurrently — retry against the new tip")
+    }
+    if (Files.exists(target) && Files.readString(target) != json) {
+      // rename raced and lost on a filesystem that clobbers: surface it
+      throw new IllegalStateException(s"snapshot v$v of $root was committed concurrently")
+    }
+  }
+
+  /** Write `df` as the next snapshot. Data first, manifest last. */
+  def write(df: DataFrame, root: String, note: String = ""): Int = {
+    val v = versions(root).lastOption.map(_ + 1).getOrElse(0)
+    val dataDir = s"data/v$v"
+    df.write.mode("overwrite").parquet(s"$root/$dataDir")
+    commit(root, v, dataDir, parent = v - 1, note = note)
+    v
+  }
+
+  /** Latest snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"$root has no committed snapshots")
+    readAsOf(spark, root, vs.last)
+  }
+
+  /** Time travel: read snapshot `v` (current or retired). */
+  def readAsOf(spark: SparkSession, root: String, v: Int): DataFrame = {
+    require(versions(root).contains(v), s"$root has no snapshot v$v")
+    spark.read.parquet(s"$root/${manifest(root, v)("dataDir")}")
+  }
+
+  /** Metadata-only rollback: commit a NEW snapshot pointing at
+    * `toVersion`'s data files. No data copy; history stays intact. */
+  def rollback(root: String, toVersion: Int): Int = {
+    val vs = versions(root)
+    require(vs.contains(toVersion), s"$root has no snapshot v$toVersion to roll back to")
+    val v = vs.last + 1
+    commit(root, v, manifest(root, toVersion)("dataDir"), parent = vs.last,
+      note = s"rollback to v$toVersion")
+    v
+  }
+
+  /** The snapshot log as a DataFrame (version, parent, dataDir, note). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root)
+      .map { v =>
+        val m = manifest(root, v)
+        (v, m("parent").toInt, m("dataDir"), m.getOrElse("note", ""))
+      }
+      .toDF("version", "parent", "data_dir", "note")
+  }
+}

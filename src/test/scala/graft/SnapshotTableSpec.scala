@@ -1,0 +1,63 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.sources.SnapshotTable
+import java.nio.file.Files
+
+/** Snapshot-table semantics (the Iceberg-analog commit discipline):
+  * data-first/manifest-last commits, time travel, metadata-only
+  * rollback, loud optimistic-concurrency failure. */
+class SnapshotTableSpec extends AnyFunSuite {
+
+  private lazy val spark = SparkTestSession.spark
+
+  private def dir() = Files.createTempDirectory("graft_snap").toString
+
+  test("write/read/time-travel/rollback round-trip; rollback copies no data") {
+    import spark.implicits._
+    val root = dir()
+    val v0 = SnapshotTable.write(Seq((1, "a"), (2, "b")).toDF("id", "s"), root, "initial")
+    val v1 = SnapshotTable.write(Seq((1, "a"), (2, "B"), (3, "c")).toDF("id", "s"), root, "update")
+    assert(v0 == 0 && v1 == 1)
+
+    assert(SnapshotTable.read(spark, root).count() == 3)
+    assert(SnapshotTable.readAsOf(spark, root, 0).count() == 2)
+    assert(SnapshotTable.readAsOf(spark, root, 0)
+      .where(col("s") === "B").count() == 0, "time travel leaked the update")
+
+    val v2 = SnapshotTable.rollback(root, 0)
+    assert(v2 == 2)
+    // latest now reads v0's rows...
+    val latest = SnapshotTable.read(spark, root)
+    assert(latest.count() == 2 && latest.where(col("s") === "B").count() == 0)
+    // ...through v0's FILES (metadata-only: no new data dir appeared)
+    val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
+    assert(dataDirs == Set("v0", "v1"), s"rollback copied data: $dataDirs")
+    // history intact: v1 still time-travels
+    assert(SnapshotTable.readAsOf(spark, root, 1).count() == 3)
+    assert(SnapshotTable.history(spark, root).count() == 3)
+  }
+
+  test("concurrent commit of the same version fails loudly; crashed writer leaves no snapshot") {
+    import spark.implicits._
+    val root = dir()
+    SnapshotTable.write(Seq(1).toDF("id"), root)
+    // simulate a concurrent committer that took v1 between our version
+    // pick and our manifest rename: drive the commit step directly at a
+    // version that just got taken
+    val race = new java.io.File(s"$root/_manifests/v1.json")
+    Files.writeString(race.toPath, """{"version":"1","dataDir":"data/v1","parent":"0","note":"racer"}""")
+    val e = intercept[IllegalStateException] {
+      SnapshotTable.commit(root, 1, "data/v1b", parent = 0, note = "loser")
+    }
+    assert(e.getMessage.contains("concurrent"))
+    // the racer's manifest is untouched by the failed commit
+    assert(Files.readString(race.toPath).contains("racer"))
+    // a data dir without a manifest (crashed writer) is invisible
+    val orphan = dir()
+    Seq(1).toDF("id").write.parquet(s"$orphan/data/v0")
+    assert(SnapshotTable.versions(orphan).isEmpty)
+    intercept[IllegalArgumentException](SnapshotTable.read(spark, orphan))
+  }
+}
