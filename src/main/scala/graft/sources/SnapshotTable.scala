@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths}
 
 /** Snapshot-versioned parquet table — the honest stand-in for the
   * Iceberg runtime behaviors the north rule names (snapshot log,
@@ -14,11 +14,11 @@ import java.nio.file.{Files, Paths, StandardCopyOption}
   *
   * Iceberg semantics preserved:
   *   - a WRITER commits data first, manifest last, via atomic
-  *     temp+rename of the manifest file — readers never observe a
+  *     temp+hard-link of the manifest file — readers never observe a
   *     half-written snapshot, and a crashed writer leaves only an
   *     unreferenced data dir (Iceberg's orphan files);
-  *   - optimistic concurrency: the rename fails loudly if the version
-  *     was taken by a concurrent committer;
+  *   - optimistic concurrency: the link(2) create fails loudly if the
+  *     version was taken by a concurrent committer;
   *   - ROLLBACK is metadata-only: a new snapshot whose dataDir points
   *     at the restored version's files — no data copy, history intact
   *     (Iceberg's `rollback_to_snapshot` creates a new metadata entry);
@@ -72,17 +72,16 @@ object SnapshotTable {
     val tmp = manifestDir(root).resolve(s".v$v.json.tmp${System.nanoTime()}")
     Files.writeString(tmp, json)
     val target = manifestDir(root).resolve(s"v$v.json")
-    try Files.move(tmp, target, StandardCopyOption.ATOMIC_MOVE)
+    // hard-link, not rename: rename(2) silently REPLACES an existing
+    // target, which would let a slow committer clobber the winner's
+    // manifest; link(2) is atomic create-or-EEXIST — exactly the
+    // optimistic-concurrency primitive a snapshot log needs
+    try Files.createLink(target, tmp)
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
-        Files.deleteIfExists(tmp)
         throw new IllegalStateException(
           s"snapshot v$v of $root was committed concurrently — retry against the new tip")
-    }
-    if (Files.exists(target) && Files.readString(target) != json) {
-      // rename raced and lost on a filesystem that clobbers: surface it
-      throw new IllegalStateException(s"snapshot v$v of $root was committed concurrently")
-    }
+    } finally Files.deleteIfExists(tmp)
   }
 
   /** Write `df` as the next snapshot. Data first, manifest last. */
