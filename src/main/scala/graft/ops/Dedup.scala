@@ -109,6 +109,54 @@ object Dedup {
       .select(col("doc_id").as("id"), col("cluster_id").as("group_id"))
   }
 
+  /** Exact n-gram Jaccard near-dup pairs via an inverted shingle index
+    * (the dedup family's exact member, reference analog: the verify
+    * half of `src/core/cross_device_linker.py`'s similarity gate).
+    * Pairs sharing at least one RARE character n-gram (document
+    * frequency ≤ `dfCap`) are scored with the exact Jaccard of their
+    * rare-gram sets — pure relational shape (explode → distinct →
+    * df-filter → gram self-join → count), every step a hash
+    * shuffle/aggregate on gram or id, no arrays carried through the
+    * join. The df cap bounds the per-gram fanout at C(dfCap, 2), the
+    * same hot-key discipline as winnowing/blocking — without it a
+    * stop-shingle would go quadratic at corpus scale. For 10^12-doc
+    * scale prefer [[nearDupPairs]] (MinHash sketches, O(k) per doc);
+    * this operator is the exact verifier and is fully cross-engine
+    * reproducible (DuckDB oracle q43 replays it verbatim — grams are
+    * plain strings, the Jaccard a single exact int division).
+    * Output: (id_a, id_b, inter, na, nb, jaccard). */
+  def ngramJaccardPairs(
+      docs0: DataFrame,
+      n: Int = 5,
+      dfCap: Int = 50,
+      threshold: Double = 0.5
+  ): DataFrame = {
+    val docs = graft.util.Parallelism.ensure(docs0)
+    val g = docs
+      .select(
+        col("id"),
+        explode(array_distinct(TextOps.charShingles(TextOps.normText(col("text")), n))).as("gram")
+      )
+      .localCheckpoint(true)
+    val rare = g.groupBy("gram").agg(count(lit(1)).as("df"))
+      .where(col("df") <= dfCap).select("gram")
+    val kept = g.join(rare, "gram")
+    val cnt = kept.groupBy("id").agg(count(lit(1)).as("ng"))
+    val inter = kept.select(col("gram"), col("id").as("id_a"))
+      .join(kept.select(col("gram"), col("id").as("id_b")), "gram")
+      .where(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select(col("id").as("id_a"), col("ng").as("na")), "id_a")
+      .join(cnt.select(col("id").as("id_b"), col("ng").as("nb")), "id_b")
+      .withColumn(
+        "jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")).cast("double")
+      )
+      .where(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "inter", "na", "nb", "jaccard")
+  }
+
   /** Tokenized (id, word) rows from normalized text. */
   private def tokens(docs0: DataFrame): DataFrame = {
     val docs = graft.util.Parallelism.ensure(docs0)

@@ -70,6 +70,16 @@ object Analytics6 {
           col("rank").cast("long").as("rank"),
           round(col("cos"), 6).as("cos6")
         )
+    }),
+    // exact n-gram Jaccard near-dup pairs over the documents corpus —
+    // the inverted-index exact member of the dedup family (MinHash q32
+    // and SimHash q28 are its sketched approximations). Grams are plain
+    // strings and the score one exact int division, so the oracle
+    // replays the operator verbatim.
+    "q43_ngram_jaccard" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+        .select(col("doc_id").cast("string").as("id"), col("text"))
+      graft.ops.Dedup.ngramJaccardPairs(docs, n = 5, dfCap = 50, threshold = 0.35)
     })
   )
 
@@ -152,6 +162,31 @@ object Analytics6 {
              row_number() OVER (PARTITION BY id_a ORDER BY cos DESC, id_b) AS rank
            FROM scored)
          WHERE rank <= 5"""
-    }
+    },
+    "q43_ngram_jaccard" ->
+      """WITH d AS (
+           SELECT CAST(doc_id AS VARCHAR) AS id,
+             trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')) AS s
+           FROM documents),
+         g0 AS (
+           SELECT id, substring(s, CAST(i AS INT), 5) AS gram
+           FROM (SELECT id, s, unnest(range(1, len(s) - 3)) AS i FROM d WHERE len(s) >= 5)
+           UNION ALL
+           SELECT id, s AS gram FROM d WHERE len(s) > 0 AND len(s) < 5),
+         g AS (SELECT DISTINCT id, gram FROM g0),
+         rare AS (SELECT gram FROM (SELECT gram, count(*) AS df FROM g GROUP BY gram) WHERE df <= 50),
+         kept AS (SELECT g.id, g.gram FROM g JOIN rare USING (gram)),
+         cnt AS (SELECT id, count(*) AS ng FROM kept GROUP BY id),
+         inter AS (
+           SELECT a.id AS id_a, b.id AS id_b, count(*) AS inter
+           FROM kept a JOIN kept b USING (gram)
+           WHERE a.id < b.id
+           GROUP BY 1, 2)
+         SELECT i.id_a, i.id_b, i.inter, ca.ng AS na, cb.ng AS nb,
+           CAST(i.inter AS DOUBLE) / CAST(ca.ng + cb.ng - i.inter AS DOUBLE) AS jaccard
+         FROM inter i
+         JOIN cnt ca ON i.id_a = ca.id
+         JOIN cnt cb ON i.id_b = cb.id
+         WHERE CAST(i.inter AS DOUBLE) / CAST(ca.ng + cb.ng - i.inter AS DOUBLE) >= 0.35"""
   )
 }

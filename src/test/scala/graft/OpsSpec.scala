@@ -37,6 +37,24 @@ class OpsSpec extends AnyFunSuite {
     assert(groups("d005") == "d005")
   }
 
+  test("ngram Jaccard: planted near-dups found, analytic value exact, df cap silences stop-shingles") {
+    import spark.implicits._
+    // planted near-dups from the shared corpus fixture
+    val pairs = Dedup.ngramJaccardPairs(corpus, n = 5, dfCap = 50, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(pairs.contains(("d000", "dupA")))
+    assert(pairs.contains(("d000", "dupB")))
+    assert(pairs.contains(("d001", "dupC")))
+    assert(!pairs.keySet.exists { case (a, b) => Set(a, b) == Set("d000", "d001") })
+    // analytic: "abcdef" vs "abcdeg" share 1 of 3 distinct 5-grams
+    val tiny = Seq(("x", "abcdef"), ("y", "abcdeg")).toDF("id", "text")
+    val j = Dedup.ngramJaccardPairs(tiny, n = 5, dfCap = 50, threshold = 0.3).collect()
+    assert(j.length == 1 && j(0).getDouble(5) == 1.0 / 3.0 && j(0).getLong(2) == 1L)
+    // a gram in more docs than dfCap contributes nothing
+    val hot = (0 until 6).map(i => (s"h$i", "zzzzz")).toDF("id", "text")
+    assert(Dedup.ngramJaccardPairs(hot, n = 5, dfCap = 3, threshold = 0.1).isEmpty)
+  }
+
   test("simhash: planted near-identical LONG docs collide within hamming budget") {
     // simhash needs many tokens for stable bit votes — short docs flip
     // bits on any edit (vote margins are O(√n)); use 300-token docs
