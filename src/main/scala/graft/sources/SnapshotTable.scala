@@ -65,10 +65,11 @@ object SnapshotTable {
     * Package-private so the spec can drive the collision path directly
     * (the version-pick-to-rename race window is not reachable from the
     * public API without a scheduler hook). */
-  private[graft] def commit(root: String, v: Int, dataDir: String, parent: Int, note: String): Unit = {
+  private[graft] def commit(root: String, v: Int, dataDir: String, parent: Int, note: String,
+      spec: Seq[String] = Nil, cols: Seq[String] = Nil): Unit = {
     Files.createDirectories(manifestDir(root))
     val json =
-      s"""{"version":"$v","dataDir":"$dataDir","parent":"$parent","note":"${note.replace("\"", "'")}"}"""
+      s"""{"version":"$v","dataDir":"$dataDir","parent":"$parent","spec":"${spec.mkString(",")}","cols":"${cols.mkString(",")}","note":"${note.replace("\"", "'")}"}"""
     val tmp = manifestDir(root).resolve(s".v$v.json.tmp${System.nanoTime()}")
     Files.writeString(tmp, json)
     val target = manifestDir(root).resolve(s"v$v.json")
@@ -84,12 +85,36 @@ object SnapshotTable {
     } finally Files.deleteIfExists(tmp)
   }
 
-  /** Write `df` as the next snapshot. Data first, manifest last. */
-  def write(df: DataFrame, root: String, note: String = ""): Int = {
+  /** The partition spec future writes inherit (Iceberg: the table's
+    * CURRENT spec; every snapshot keeps the spec it was written under). */
+  def currentSpec(root: String): Seq[String] =
+    versions(root).lastOption.toSeq
+      .flatMap(v => manifest(root, v).getOrElse("spec", "").split(",").filter(_.nonEmpty))
+
+  /** Write `df` as the next snapshot. Data first, manifest last.
+    *
+    * `partitionBy = None` inherits the table's current partition spec
+    * (the common write path); `Some(cols)` EVOLVES the spec from this
+    * snapshot forward — Iceberg's `ALTER TABLE ... PARTITIONED BY`:
+    * earlier snapshots keep their own spec and layout, time travel
+    * reads each under the spec it was written with (`Some(Nil)` drops
+    * partitioning). The manifest also records the logical column order
+    * so reads present the schema independent of the physical layout
+    * (Hive-style partition dirs move partition columns last on disk).
+    * Schema evolution needs no DDL here: each snapshot is a full
+    * rewrite carrying its own parquet schema, so added/dropped columns
+    * simply appear from this snapshot forward while time travel keeps
+    * returning each snapshot's own schema. */
+  def write(df: DataFrame, root: String, note: String = "",
+      partitionBy: Option[Seq[String]] = None): Int = {
     val v = versions(root).lastOption.map(_ + 1).getOrElse(0)
+    val spec = partitionBy.getOrElse(currentSpec(root))
+    val missing = spec.filterNot(df.columns.contains)
+    require(missing.isEmpty, s"partition spec columns absent from data: ${missing.mkString(",")}")
     val dataDir = s"data/v$v"
-    df.write.mode("overwrite").parquet(s"$root/$dataDir")
-    commit(root, v, dataDir, parent = v - 1, note = note)
+    val w = df.write.mode("overwrite")
+    (if (spec.nonEmpty) w.partitionBy(spec: _*) else w).parquet(s"$root/$dataDir")
+    commit(root, v, dataDir, parent = v - 1, note = note, spec = spec, cols = df.columns.toSeq)
     v
   }
 
@@ -100,10 +125,18 @@ object SnapshotTable {
     readAsOf(spark, root, vs.last)
   }
 
-  /** Time travel: read snapshot `v` (current or retired). */
+  /** Time travel: read snapshot `v` (current or retired) under the
+    * spec and logical column order it was committed with. Partition
+    * columns come back from the directory names (Hive layout), so
+    * filters on them prune directories at planning time. */
   def readAsOf(spark: SparkSession, root: String, v: Int): DataFrame = {
     require(versions(root).contains(v), s"$root has no snapshot v$v")
-    spark.read.parquet(s"$root/${manifest(root, v)("dataDir")}")
+    val m = manifest(root, v)
+    val df = spark.read.parquet(s"$root/${m("dataDir")}")
+    val cols = m.getOrElse("cols", "").split(",").filter(_.nonEmpty)
+    if (cols.nonEmpty && cols.forall(df.columns.contains))
+      df.select(cols.map(org.apache.spark.sql.functions.col).toSeq: _*)
+    else df
   }
 
   /** Metadata-only rollback: commit a NEW snapshot pointing at
@@ -112,19 +145,21 @@ object SnapshotTable {
     val vs = versions(root)
     require(vs.contains(toVersion), s"$root has no snapshot v$toVersion to roll back to")
     val v = vs.last + 1
-    commit(root, v, manifest(root, toVersion)("dataDir"), parent = vs.last,
-      note = s"rollback to v$toVersion")
+    val m = manifest(root, toVersion)
+    commit(root, v, m("dataDir"), parent = vs.last, note = s"rollback to v$toVersion",
+      spec = m.getOrElse("spec", "").split(",").filter(_.nonEmpty).toSeq,
+      cols = m.getOrElse("cols", "").split(",").filter(_.nonEmpty).toSeq)
     v
   }
 
-  /** The snapshot log as a DataFrame (version, parent, dataDir, note). */
+  /** The snapshot log as a DataFrame (version, parent, dataDir, spec, note). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(root)
       .map { v =>
         val m = manifest(root, v)
-        (v, m("parent").toInt, m("dataDir"), m.getOrElse("note", ""))
+        (v, m("parent").toInt, m("dataDir"), m.getOrElse("spec", ""), m.getOrElse("note", ""))
       }
-      .toDF("version", "parent", "data_dir", "note")
+      .toDF("version", "parent", "data_dir", "spec", "note")
   }
 }

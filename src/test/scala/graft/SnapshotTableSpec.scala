@@ -39,6 +39,52 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.history(spark, root).count() == 3)
   }
 
+  test("partition-spec evolution: new spec from this snapshot forward, old snapshots keep theirs, pruning works") {
+    import spark.implicits._
+    val root = dir()
+    val rows = Seq((1, "us", "x"), (2, "us", "y"), (3, "de", "z")).toDF("id", "country", "s")
+    // v0 unpartitioned; v1 evolves the spec; v2 INHERITS it silently
+    SnapshotTable.write(rows, root, "initial")
+    SnapshotTable.write(rows, root, "partitioned", partitionBy = Some(Seq("country")))
+    SnapshotTable.write(rows.withColumn("s", upper(col("s"))), root, "inherit")
+    assert(SnapshotTable.currentSpec(root) == Seq("country"))
+    assert(SnapshotTable.history(spark, root).select("spec").as[String].collect().toSeq
+      == Seq("", "country", "country"))
+
+    // layout: v1/v2 have Hive partition dirs, v0 does not
+    def dirs(v: Int) = new java.io.File(s"$root/data/v$v").listFiles().map(_.getName).toSet
+    assert(!dirs(0).exists(_.startsWith("country=")))
+    assert(dirs(1).filter(_.startsWith("country=")) == Set("country=us", "country=de"))
+
+    // logical schema is layout-independent: same column order across specs
+    assert(SnapshotTable.readAsOf(spark, root, 0).columns.toSeq == Seq("id", "country", "s"))
+    assert(SnapshotTable.readAsOf(spark, root, 1).columns.toSeq == Seq("id", "country", "s"))
+
+    // a partition filter prunes at planning time on the partitioned snapshot
+    val pruned = SnapshotTable.read(spark, root).where(col("country") === "us")
+    assert(pruned.as[(Int, String, String)].collect().map(_._3).sorted.toSeq == Seq("X", "Y"))
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("country"),
+      s"partition filter did not reach the scan:\n$plan")
+    // rollback to the unpartitioned snapshot carries ITS spec back
+    SnapshotTable.rollback(root, 0)
+    assert(SnapshotTable.currentSpec(root).isEmpty)
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "country", "s"))
+  }
+
+  test("schema evolution: added column appears from its snapshot forward, time travel keeps old schema") {
+    import spark.implicits._
+    val root = dir()
+    SnapshotTable.write(Seq((1, "a")).toDF("id", "s"), root, "v0")
+    SnapshotTable.write(Seq((1, "a", 0.5)).toDF("id", "s", "score"), root, "add score")
+    assert(SnapshotTable.readAsOf(spark, root, 0).columns.toSeq == Seq("id", "s"))
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "s", "score"))
+    // dropped column likewise: a later snapshot without `s`
+    SnapshotTable.write(Seq((1, 0.7)).toDF("id", "score"), root, "drop s")
+    assert(SnapshotTable.read(spark, root).columns.toSeq == Seq("id", "score"))
+    assert(SnapshotTable.readAsOf(spark, root, 1).columns.toSeq == Seq("id", "s", "score"))
+  }
+
   test("concurrent commit of the same version fails loudly; crashed writer leaves no snapshot") {
     import spark.implicits._
     val root = dir()
