@@ -55,6 +55,12 @@ object Bench {
     val runMs = new java.util.concurrent.atomic.AtomicLong
     val phaseCpu = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     val phaseGc = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    // shuffle bytes per phase: window-INDEPENDENT evidence (bytes moved
+    // don't change with host weather) — the denominator for any
+    // codec/DRAM-traffic A/B and the direct measure of what the 8→32
+    // memory-controller ceiling is fed with
+    val phaseShufW = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+    val phaseShufR = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
     def bump(m: java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong], k: String, v: Long): Unit =
       m.computeIfAbsent(k, _ => new java.util.concurrent.atomic.AtomicLong).addAndGet(v)
     spark.sparkContext.addSparkListener(new org.apache.spark.scheduler.SparkListener {
@@ -67,6 +73,8 @@ object Bench {
           val ph = graft.util.PhaseTracker.get
           bump(phaseCpu, ph, m.executorCpuTime)
           bump(phaseGc, ph, m.jvmGCTime)
+          bump(phaseShufW, ph, m.shuffleWriteMetrics.bytesWritten)
+          bump(phaseShufR, ph, m.shuffleReadMetrics.totalBytesRead)
         }
       }
     })
@@ -257,7 +265,7 @@ object Bench {
         s""""load_sys_cores_start":${math.round(loadSys0 * 100) / 100.0},""" +
         s""""load_avg_start":$load0,"load_avg_end":${loadAvg()}"""
     val json =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},$env}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},"stage_shuffle_w_gb":${phaseJson(phaseShufW, 1e9)},"stage_shuffle_r_gb":${phaseJson(phaseShufR, 1e9)},"io_codec":"${sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")}","parquet_codec":"${sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")}",$env}"""
     // belt-and-braces: the JSON also lands in a file (round 1's line was
     // swallowed by sbt's "[info] " log decoration — parsed:null)
     val outFile = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_LOCAL.json")
