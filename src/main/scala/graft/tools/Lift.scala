@@ -85,6 +85,45 @@ object Lift {
   def fixtureAccount: Column =
     concat(lit("acct"), floor(substring(col("entity_id"), 4, 5).cast("long") / 2))
 
+  /** Fairness: per-group resolved accuracy + the disparate-impact
+    * ratio (min group accuracy / max group accuracy; reference:
+    * `calculate_fairness_metrics`, attribution_lift.py:438-508 — the
+    * reference rates attribution SHARES, we rate assignment ACCURACY,
+    * the resolver-side analog: does resolution quality hold across
+    * cohorts, e.g. few-doc vs many-doc entities). Output: one row per
+    * group (group_id, n_docs, group_acc) plus the ratio broadcast onto
+    * every row as disparate_impact. */
+  def fairness(assigned: DataFrame, labels: DataFrame, groupOfEntity: Column): DataFrame = {
+    val perDoc = assigned.join(labels.withColumn("group_id", groupOfEntity), "doc_id")
+      .join(clusterMajority(assigned, labels), "cluster_id")
+      .withColumn("ok", (col("entity_id") === col("majority_entity")).cast("long"))
+    val byGroup = perDoc.groupBy("group_id")
+      .agg(count(lit(1)).as("n_docs"),
+        (sum(col("ok")).cast("double") / count(lit(1))).as("group_acc"))
+    byGroup.crossJoin(
+      byGroup.agg((min(col("group_acc")) / max(col("group_acc"))).as("disparate_impact")))
+  }
+
+  /** labels + a `cohort` column: per-entity doc-count volume tercile
+    * ("low"/"mid"/"high") — few-doc entities are the hard cohort, the
+    * fairness split that matters for a resolver. Cutoffs come from one
+    * distributed percentile aggregate over the per-entity counts (no
+    * single-partition window anywhere). */
+  def cohortLabels(labels: DataFrame): DataFrame = {
+    val counts = labels.groupBy("entity_id").agg(count(lit(1)).as("nd"))
+    val cuts = counts.agg(
+      expr("percentile_approx(nd, 1.0/3.0)").as("c1"),
+      expr("percentile_approx(nd, 2.0/3.0)").as("c2"))
+    // percentile_approx returns an ELEMENT (no interpolation), so the
+    // upper cutoff must bound "mid" strictly — ties at the 2/3 element
+    // land in "high" (matters for tiny/degenerate count distributions)
+    val tagged = counts.crossJoin(cuts).withColumn("cohort",
+      when(col("nd") <= col("c1"), "low")
+        .when(col("nd") < col("c2"), "mid").otherwise("high"))
+      .select("entity_id", "cohort")
+    labels.join(tagged, "entity_id")
+  }
+
   /** End-to-end readout on a fixture scale: resolve with the production
     * pipeline stages (Calibrate's flow), then report the lift row. */
   def main(args: Array[String]): Unit = {
@@ -112,6 +151,8 @@ object Lift {
     println(f"[lift] person_acc=${row.getDouble(0)}%.4f account_acc=${row.getDouble(1)}%.4f " +
       f"n=${row.getLong(2)} lift=${row.getDouble(3)}%.4f z=${row.getDouble(4)}%.2f " +
       s"significant=${row.getBoolean(5)}")
+    fairness(att.select("doc_id", "cluster_id"), cohortLabels(labels), col("cohort"))
+      .orderBy("group_id").show(false)
     spark.stop()
   }
 }

@@ -47,6 +47,33 @@ class LiftSpec extends AnyFunSuite {
     assert(r3.getDouble(3) < 0)
   }
 
+  test("fairness: per-group accuracy and disparate-impact ratio are exact on a planted case") {
+    import spark.implicits._
+    // group G1: 4 docs all correct; group G2: 4 docs, 2 correct -> DI = 0.5
+    val labels = Seq(
+      ("a1", "A"), ("a2", "A"), ("b1", "B"), ("b2", "B"),   // G1
+      ("c1", "C"), ("c2", "C"), ("d1", "D"), ("d2", "D")    // G2
+    ).toDF("doc_id", "entity_id")
+    val group = when(col("entity_id").isin("A", "B"), "G1").otherwise("G2")
+    // C and D merged into one cluster -> majority is D (tie-break), C's 2 docs wrong
+    val assigned = labels.select(col("doc_id"),
+      when(col("entity_id").isin("C", "D"), "CD").otherwise(col("entity_id")).as("cluster_id"))
+    val rows = Lift.fairness(assigned, labels, group).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(rows("G1") == ((4L, 1.0, 0.5)))
+    assert(rows("G2") == ((4L, 0.5, 0.5)))
+  }
+
+  test("cohortLabels: volume terciles from distributed percentile cutoffs") {
+    import spark.implicits._
+    // entities with 1, 2 and 10 docs -> low / mid / high
+    val labels = (Seq(("x1", "X")) ++ Seq(("y1", "Y"), ("y2", "Y")) ++
+      (1 to 10).map(i => (s"z$i", "Z"))).toDF("doc_id", "entity_id")
+    val c = Lift.cohortLabels(labels).select("entity_id", "cohort").distinct()
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(c == Map("X" -> "low", "Y" -> "mid", "Z" -> "high"))
+  }
+
   test("fixture + production pipeline: significant positive lift over the account baseline") {
     val cfg = graft.schema.Fixture.scales("t1")
     val docs = graft.schema.Fixture.docs(spark, cfg).toDF().cache()
@@ -69,5 +96,14 @@ class LiftSpec extends AnyFunSuite {
     assert(accountAcc < 0.9, "account baseline suspiciously high — account grain broken?")
     assert(lift > 0.1 && significant,
       f"lift not significant: person=$personAcc%.4f account=$accountAcc%.4f lift=$lift%.4f")
+
+    // fairness across volume cohorts: every cohort resolvable, no
+    // cohort silently abandoned (DI floor is a tripwire, not a target)
+    val fair = Lift.fairness(att.select("doc_id", "cluster_id"),
+      Lift.cohortLabels(labels), col("cohort")).collect()
+    val di = fair.head.getDouble(3)
+    fair.foreach(r => info(f"cohort=${r.getString(0)} n=${r.getLong(1)} acc=${r.getDouble(2)}%.4f"))
+    info(f"disparate_impact=$di%.4f")
+    assert(fair.length == 3 && di > 0.5, f"cohort accuracy collapsed: DI=$di%.4f")
   }
 }
