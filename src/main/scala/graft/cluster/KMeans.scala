@@ -279,12 +279,26 @@ object KMeans {
     * (group_id, cluster, cent: array<double>). */
   def lloydDeterministicParts(pts: DataFrame, k: Int, iters: Int): (DataFrame, DataFrame) = {
     require(iters >= 1)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy("group_id").orderBy("item_id")
+    // init = the k lowest item_ids per group, in TWO phases. Phase 1:
+    // a per-(group, physical-partition) window caps its output at k
+    // rows each — the k global minima survive by construction. Phase 2
+    // picks the k winners per group from the ≤ k × numPartitions
+    // survivors with a plain partial+final aggregate — deliberately NOT
+    // a per-group window, because a caller training ONE group (Ivf's
+    // coarse quantizer) constant-folds group_id out of a window's
+    // partition spec and the window degenerates to a single partition
+    // over the whole training set. Selected init is bit-identical to
+    // the old single-window form.
+    val wLocal = org.apache.spark.sql.expressions.Window
+      .partitionBy("group_id", "_phys").orderBy("item_id")
     var cents = pts
-      .withColumn("rn", row_number().over(w))
+      .withColumn("_phys", spark_partition_id())
+      .withColumn("rn", row_number().over(wLocal))
       .where(col("rn") <= k)
-      .select(col("group_id"), (col("rn") - 1).cast("long").as("cluster"), col("features").as("cent"))
+      .groupBy("group_id")
+      .agg(slice(array_sort(collect_list(struct(col("item_id"), col("features")))), 1, k).as("top"))
+      .select(col("group_id"), posexplode(col("top")).as(Seq("cluster", "kv")))
+      .select(col("group_id"), col("cluster").cast("long").as("cluster"), col("kv.features").as("cent"))
 
     def sqd(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
       aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)), lit(0.0), (acc, v) => acc + v)
