@@ -65,6 +65,51 @@ object Shapley {
     g.channels.zipWithIndex.map { case (c, i) => c -> phi(i) }.toMap
   }
 
+  /** Exact Shapley in SCALED INTEGER arithmetic, as a DataFrame — the
+    * cross-engine-verifiable twin of [[exact]] (q44). With raw
+    * coalition counts (not normalized) the quantity
+    *   phi_num(i) = Σ_{S ∌ i} |S|!·(n−|S|−1)!·(vraw(S∪{i}) − vraw(S))
+    * is an exact integer and phi(i) = phi_num(i) / (n!·total); every
+    * step is Long-domain, so an independent engine replaying the same
+    * subset algebra lands on the identical integers — no fp fold-order
+    * caveats (contrast the documented GMM exp/ln limit). Coalition
+    * counting is the distributed half (one aggregation over converting
+    * paths); the 2^n subset sweep is driver-local over ≤ 2^MaxChannels
+    * values, the same bounded-reduction split as [[exact]] and the
+    * Markov chain algebra (reference: shapley_engine.py:96-137).
+    * Output: (channel, n_channels, total_conv, phi_num). */
+  def exactScaledDF(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val coalitions: Seq[(Seq[String], Long)] =
+      coalitionCounts(events, convType).as[(Seq[String], Long)].collect().toSeq
+    val channels = coalitions.flatMap(_._1).distinct.sorted.toVector
+    val n = channels.size
+    require(n <= MaxChannels, s"exact Shapley capped at $MaxChannels channels (got $n)")
+    val idx = channels.zipWithIndex.toMap
+    val vraw = new Array[Long](1 << n)
+    var total = 0L
+    coalitions.foreach { case (chs, cnt) =>
+      val mask = chs.map(c => 1 << idx(c)).foldLeft(0)(_ | _)
+      vraw(mask) += cnt
+      total += cnt
+    }
+    for (i <- 0 until n; mask <- 0 until (1 << n))
+      if ((mask & (1 << i)) != 0) vraw(mask) += vraw(mask ^ (1 << i))
+    val fact = new Array[Long](n + 1)
+    fact(0) = 1L
+    for (i <- 1 to n) fact(i) = fact(i - 1) * i
+    val rows = channels.zipWithIndex.map { case (c, i) =>
+      var acc = 0L
+      for (mask <- 0 until (1 << n)) if ((mask & (1 << i)) == 0) {
+        val s = Integer.bitCount(mask)
+        acc += fact(s) * fact(n - s - 1) * (vraw(mask | (1 << i)) - vraw(mask))
+      }
+      (c, n.toLong, total, acc)
+    }
+    rows.toDF("channel", "n_channels", "total_conv", "phi_num")
+  }
+
   /** Monte Carlo Shapley via permutation sampling
     * (shapley_engine.py:139-173), fanned out with spark.range — each
     * sample index seeds its own RNG so the estimate is deterministic.

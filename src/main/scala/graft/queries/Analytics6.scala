@@ -2,6 +2,7 @@ package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Sixth batch — round-5: the integrated attribution breakdown, closing
   * the last uncovered reference file
@@ -80,6 +81,49 @@ object Analytics6 {
       val docs = t(s, dir, "documents")
         .select(col("doc_id").cast("string").as("id"), col("text"))
       graft.ops.Dedup.ngramJaccardPairs(docs, n = 5, dfCap = 50, threshold = 0.35)
+    }),
+    // q44: the PRODUCTION exact-Shapley engine (Shapley.exactScaledDF —
+    // distributed coalition counts + the 2^n zeta/weight sweep) in
+    // scaled INTEGER arithmetic: phi_num = phi · n! · total_conv is an
+    // exact Long, so the cross-engine hash can't drift on fp fold
+    // order. DuckDB replays the identical subset algebra from scratch.
+    "q44_shapley_exact" -> ((s, dir) =>
+      graft.attribution.Shapley.exactScaledDF(t(s, dir, "events"))),
+    // q45: per-event-type temporal rhythm + value moments, all
+    // engine-exact: modal hour (count-desc, hour-asc tie-break),
+    // circular 24h distance to the global modal hour
+    // (Stats.circularHourDistance — the drift detector's metric), and
+    // mean/variance from exact integer-cent power sums (the Welford
+    // row's batch math) — each emitted double is ONE correctly-rounded
+    // IEEE division of exact Longs, so both engines land bit-identical.
+    // Long bounds: vc ≤ 56,021 cents, so n·Σvc² < 2^63 for n ≤ 2.6M
+    // rows/type (sf0.1 has ~20k).
+    "q45_temporal_moments" -> ((s, dir) => {
+      val cents = t(s, dir, "events").select(
+        col("event_type"),
+        hour(col("ts")).cast("long").as("h"),
+        round(col("value") * 100).cast("long").as("vc"))
+      val byHour = cents.groupBy("event_type", "h").agg(count(lit(1)).as("hn"))
+      val modal = byHour
+        .withColumn("rk", row_number().over(
+          Window.partitionBy("event_type").orderBy(col("hn").desc, col("h"))))
+        .where(col("rk") === 1)
+        .select(col("event_type"), col("h").as("modal_hour"))
+      val globalModal = cents.groupBy("h").agg(count(lit(1)).as("hn"))
+        .orderBy(col("hn").desc, col("h")).limit(1)
+        .select(col("h").as("global_hour"))
+      val mom = cents.groupBy("event_type").agg(
+        count(lit(1)).as("n"),
+        sum(col("vc")).as("sum_c"),
+        sum(col("vc") * col("vc")).as("sum_c2"))
+      mom.join(modal, "event_type").crossJoin(globalModal)
+        .select(
+          col("event_type"), col("n"), col("modal_hour"),
+          graft.functions.Stats.circularHourDistance(col("modal_hour"), col("global_hour"))
+            .cast("long").as("circ_dist"),
+          (col("sum_c").cast("double") / (col("n") * lit(100L)).cast("double")).as("mean_value"),
+          ((col("n") * col("sum_c2") - col("sum_c") * col("sum_c")).cast("double")
+            / (col("n") * col("n") * lit(10000L)).cast("double")).as("var_value"))
     })
   )
 
@@ -187,6 +231,75 @@ object Analytics6 {
          FROM inter i
          JOIN cnt ca ON i.id_a = ca.id
          JOIN cnt cb ON i.id_b = cb.id
-         WHERE CAST(i.inter AS DOUBLE) / CAST(ca.ng + cb.ng - i.inter AS DOUBLE) >= 0.35"""
+         WHERE CAST(i.inter AS DOUBLE) / CAST(ca.ng + cb.ng - i.inter AS DOUBLE) >= 0.35""",
+    "q44_shapley_exact" ->
+      """WITH e AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         fc AS (SELECT user_id, min(rn) AS conv_rn FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+         kept AS (
+           SELECT e.user_id, e.event_type
+           FROM e JOIN fc ON e.user_id = fc.user_id
+           WHERE e.rn < fc.conv_rn),
+         csets AS (
+           SELECT f.user_id,
+             coalesce(list_sort(list(DISTINCT k.event_type) FILTER (WHERE k.event_type IS NOT NULL)),
+                      CAST([] AS VARCHAR[])) AS channels
+           FROM fc f LEFT JOIN kept k ON f.user_id = k.user_id
+           GROUP BY f.user_id),
+         coal AS (SELECT channels, count(*) AS cnt FROM csets GROUP BY channels),
+         chans AS (
+           SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS i
+           FROM (SELECT DISTINCT unnest(channels) AS ch FROM coal)),
+         nn AS (SELECT count(*) AS n FROM chans),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM coal),
+         coalmask AS (
+           SELECT co.cnt,
+             coalesce((SELECT sum(1 << c.i) FROM chans c WHERE list_contains(co.channels, c.ch)), 0) AS mask
+           FROM coal co),
+         masks AS (SELECT unnest(range(0, 1 << (SELECT n FROM nn))) AS mask),
+         vraw AS (
+           SELECT m.mask, CAST(coalesce(sum(cm.cnt), 0) AS BIGINT) AS v
+           FROM masks m LEFT JOIN coalmask cm ON (m.mask & cm.mask) = cm.mask
+           GROUP BY m.mask),
+         fact AS (
+           SELECT i, CAST((SELECT coalesce(product(x), 1) FROM unnest(range(1, i + 1)) AS t(x)) AS BIGINT) AS f
+           FROM (SELECT unnest(range(0, (SELECT n FROM nn) + 1)) AS i))
+         SELECT c.ch AS channel,
+           (SELECT CAST(n AS BIGINT) FROM nn) AS n_channels,
+           (SELECT total FROM tot) AS total_conv,
+           CAST(sum(fs.f * fn.f * (v1.v - v0.v)) AS BIGINT) AS phi_num
+         FROM chans c
+         JOIN masks m ON (m.mask & (1 << c.i)) = 0
+         JOIN vraw v0 ON v0.mask = m.mask
+         JOIN vraw v1 ON v1.mask = (m.mask | (1 << c.i))
+         JOIN fact fs ON fs.i = bit_count(m.mask)
+         JOIN fact fn ON fn.i = (SELECT n FROM nn) - bit_count(m.mask) - 1
+         GROUP BY c.ch""",
+    "q45_temporal_moments" ->
+      """WITH c AS (
+           SELECT event_type, extract(hour FROM ts) AS h,
+                  CAST(round(value * 100) AS BIGINT) AS vc
+           FROM events),
+         byhour AS (SELECT event_type, h, count(*) AS hn FROM c GROUP BY 1, 2),
+         modal AS (
+           SELECT event_type, h AS modal_hour FROM (
+             SELECT event_type, h,
+               row_number() OVER (PARTITION BY event_type ORDER BY hn DESC, h) AS rk
+             FROM byhour) WHERE rk = 1),
+         gm AS (
+           SELECT h AS global_hour FROM (
+             SELECT h, count(*) AS hn FROM c GROUP BY h ORDER BY hn DESC, h LIMIT 1)),
+         mom AS (
+           SELECT event_type, count(*) AS n,
+             CAST(sum(vc) AS BIGINT) AS sum_c,
+             CAST(sum(vc * vc) AS BIGINT) AS sum_c2
+           FROM c GROUP BY event_type)
+         SELECT m.event_type, m.n, d.modal_hour,
+           least(abs(d.modal_hour - g.global_hour), 24 - abs(d.modal_hour - g.global_hour)) AS circ_dist,
+           CAST(m.sum_c AS DOUBLE) / CAST(m.n * 100 AS DOUBLE) AS mean_value,
+           CAST(m.n * m.sum_c2 - m.sum_c * m.sum_c AS DOUBLE) / CAST(m.n * m.n * 10000 AS DOUBLE) AS var_value
+         FROM mom m JOIN modal d USING (event_type) CROSS JOIN gm g"""
   )
 }

@@ -102,6 +102,39 @@ class AttributionSpec extends AnyFunSuite {
     assert(phi("C") > phi("A"), s"C carries more value: $phi")
   }
 
+  test("Shapley exactScaledDF: integer phi_num / (n!·total) == double-domain exact()") {
+    // end-to-end from events (incl. an empty-path converter and a
+    // non-converter) so the distributed coalition counting is in the
+    // loop, not just the local sweep
+    val ev = eventsDF(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 11:00:00", 2L, "purchase"), // empty path, converts
+      (5L, "2024-01-01 12:00:00", 3L, "view"), // never converts
+      (6L, "2024-01-01 13:00:00", 4L, "view"),
+      (7L, "2024-01-01 13:01:00", 4L, "purchase"),
+      (8L, "2024-01-01 14:00:00", 5L, "signup"),
+      (9L, "2024-01-01 14:01:00", 5L, "click"),
+      (10L, "2024-01-01 14:02:00", 5L, "purchase")
+    ))
+    val scaled = Shapley.exactScaledDF(ev).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val n = scaled.head._2.toInt
+    val total = scaled.head._3
+    assert(n == 3 && total == 4L) // channels {click,view,signup}; 4 converters
+    val fact = (1 to n).foldLeft(1L)(_ * _)
+    import spark.implicits._
+    val coalitions = Shapley.coalitionCounts(ev).as[(Seq[String], Long)].collect().toSeq
+    val phi = Shapley.exact(Shapley.game(coalitions))
+    scaled.foreach { case (ch, _, _, num) =>
+      assert(math.abs(num.toDouble / (fact * total) - phi(ch)) < 1e-12, s"$ch: $num vs ${phi(ch)}")
+    }
+    // efficiency in the integer domain: Σ phi_num = n!·(vraw(full) − vraw(∅))·? —
+    // with v normalized it's n!·total·(v(full)−v(∅)) = n!·(total − empty-path count)
+    assert(scaled.map(_._4).sum == fact * (total - 1), "integer efficiency (one empty-path converter)")
+  }
+
   test("Shapley Monte Carlo approximates exact within 3 SE + tolerance") {
     val g = Shapley.game(Seq(
       (Seq("A"), 10L), (Seq("B"), 5L), (Seq("A", "C"), 15L), (Seq("B", "C"), 10L)
