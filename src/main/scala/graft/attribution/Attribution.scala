@@ -79,6 +79,18 @@ object Attribution {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Row-stochastic transition probabilities, fully distributed — the
+    * normalize step of [[chainFromCounts]] as a DataFrame (q46), so the
+    * driver-local chain algebra's input matrix is itself cross-engine
+    * verified. out_total is an exact Long sum per src; each p is ONE
+    * correctly-rounded IEEE division of exact Longs, so both engines
+    * land bit-identical (reference: markov_engine.py:187-234).
+    * Output: (src, dst, n, out_total, p). */
+  def transitionProbabilities(events: DataFrame, convType: String = "purchase"): DataFrame =
+    transitionCounts(events, convType)
+      .withColumn("out_total", sum(col("n")).over(Window.partitionBy("src")))
+      .withColumn("p", col("n").cast("double") / col("out_total").cast("double"))
+
   /** Path-based removal effects, fully distributed and SQL-expressible
     * (the absorption-based variant below is the matrix analog):
     * removal_effect(c) = P(conv lost if channel c removed)

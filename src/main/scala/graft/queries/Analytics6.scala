@@ -89,6 +89,12 @@ object Analytics6 {
     // order. DuckDB replays the identical subset algebra from scratch.
     "q44_shapley_exact" -> ((s, dir) =>
       graft.attribution.Shapley.exactScaledDF(t(s, dir, "events"))),
+    // q46: the Markov chain's row-stochastic normalize as a distributed
+    // query — the driver-local absorption algebra's input matrix,
+    // cross-engine verified. n and out_total are exact Longs; p is one
+    // IEEE division, so the hash is bit-stable.
+    "q46_transition_probs" -> ((s, dir) =>
+      graft.attribution.Attribution.transitionProbabilities(t(s, dir, "events"))),
     // q45: per-event-type temporal rhythm + value moments, all
     // engine-exact: modal hour (count-desc, hour-asc tie-break),
     // circular 24h distance to the global modal hour
@@ -277,6 +283,14 @@ object Analytics6 {
          JOIN fact fs ON fs.i = bit_count(m.mask)
          JOIN fact fn ON fn.i = (SELECT n FROM nn) - bit_count(m.mask) - 1
          GROUP BY c.ch""",
+    // wraps q17's oracle verbatim — the probability layer is just a
+    // window sum + one division on top of the counts both engines
+    // already agree on
+    "q46_transition_probs" ->
+      s"""SELECT src, dst, n,
+            CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS out_total,
+            CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS p
+          FROM (${Analytics3.oracleSql("q17_transition_counts")}) counts""",
     "q45_temporal_moments" ->
       """WITH c AS (
            SELECT event_type, extract(hour FROM ts) AS h,
