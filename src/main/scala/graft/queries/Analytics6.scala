@@ -95,6 +95,17 @@ object Analytics6 {
     // IEEE division, so the hash is bit-stable.
     "q46_transition_probs" -> ((s, dir) =>
       graft.attribution.Attribution.transitionProbabilities(t(s, dir, "events"))),
+    // q47: the cluster-agreement operator (Rand + Adjusted Rand) on two
+    // real partitions of documents — lang vs first normalized token.
+    // Exact integer pair-counting (doubled counts, no intermediate
+    // division); each index is one IEEE division of exact Longs.
+    "q47_cluster_agreement" -> ((s, dir) => {
+      val assign = t(s, dir, "documents").select(
+        col("doc_id").as("id"),
+        col("lang").as("ca"),
+        element_at(split(graft.text.TextOps.normText(col("text")), " "), 1).as("cb"))
+      graft.cluster.ClusterAgreement.agreement(assign)
+    }),
     // q45: per-event-type temporal rhythm + value moments, all
     // engine-exact: modal hour (count-desc, hour-asc tie-break),
     // circular 24h distance to the global modal hour
@@ -291,6 +302,22 @@ object Analytics6 {
             CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS out_total,
             CAST(n AS DOUBLE) / CAST(sum(n) OVER (PARTITION BY src) AS BIGINT) AS p
           FROM (${Analytics3.oracleSql("q17_transition_counts")}) counts""",
+    "q47_cluster_agreement" ->
+      """WITH assign AS (
+           SELECT lang AS ca,
+             split_part(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'), ' +', ' ', 'g')), ' ', 1) AS cb
+           FROM documents),
+         cells AS (SELECT ca, cb, count(*) AS nij FROM assign GROUP BY ca, cb),
+         core AS (SELECT CAST(sum(nij) AS BIGINT) AS n, CAST(sum(nij * (nij - 1)) AS BIGINT) AS s2_both FROM cells),
+         am AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS a2 FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY ca)),
+         bm AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS b2 FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY cb))
+         SELECT n, (n * (n - 1)) // 2 AS t_pairs, s2_both, a2, b2,
+           CAST(n * (n - 1) + 2 * s2_both - a2 - b2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS rand,
+           CASE WHEN ((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 <> 0
+             THEN CAST(n * (n - 1) * s2_both - a2 * b2 AS DOUBLE)
+                  / CAST(((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 AS DOUBLE)
+           END AS ari
+         FROM core, am, bm""",
     "q45_temporal_moments" ->
       """WITH c AS (
            SELECT event_type, extract(hour FROM ts) AS h,
