@@ -34,8 +34,14 @@ object ClusterAgreement {
     * clustering. Output: one row
     * (n, t_pairs, s2_both, a2, b2, rand, ari); ari is null when the
     * index is undefined (both clusterings trivial: all-singleton or
-    * single-cluster). */
-  def agreement(assign: DataFrame): DataFrame = {
+    * single-cluster).
+    *
+    * `longSafeMax`: above this n the bit-stable Long products would
+    * overflow (ANSI throw), so the indexes switch to double arithmetic
+    * over the still-exact Long components — a documented precision
+    * step-down, not a crash, on 10⁹+-row universes. The branch is a
+    * per-row CASE, so the untaken arm never evaluates. */
+  def agreement(assign: DataFrame, longSafeMax: Long = 55000L): DataFrame = {
     val cells = assign.groupBy("ca", "cb").agg(count(lit(1)).as("nij"))
     val core = cells.agg(
       sum(col("nij")).as("n"),
@@ -45,20 +51,26 @@ object ClusterAgreement {
       .agg(sum(col("ai") * (col("ai") - 1)).as("a2"))
     val bMarg = cells.groupBy("cb").agg(sum(col("nij")).as("bj"))
       .agg(sum(col("bj") * (col("bj") - 1)).as("b2"))
+    val longSafe = col("n") <= lit(longSafeMax)
+    // double twins of every term, for the big-n arm
+    val (nd, s2d, a2d, b2d) =
+      (col("n").cast("double"), col("s2_both").cast("double"),
+        col("a2").cast("double"), col("b2").cast("double"))
+    val pd = nd * (nd - 1.0)
+    val ariDenD = pd / 2.0 * (a2d + b2d) - a2d * b2d
     core.crossJoin(aMarg).crossJoin(bMarg)
-      .withColumn("p", col("n") * (col("n") - 1))
-      .withColumn("t_pairs", expr("p div 2"))
-      .withColumn("ari_den", col("t_pairs") * (col("a2") + col("b2")) - col("a2") * col("b2"))
+      .withColumn("t_pairs", expr("n * (n - 1) div 2"))
       .select(
         col("n"), col("t_pairs"), col("s2_both"), col("a2"), col("b2"),
-        (
-          (col("p") + lit(2L) * col("s2_both") - col("a2") - col("b2")).cast("double")
-            / col("p").cast("double")
-        ).as("rand"),
-        when(col("ari_den") =!= 0L,
-          (col("p") * col("s2_both") - col("a2") * col("b2")).cast("double")
-            / col("ari_den").cast("double")
-        ).as("ari")
+        when(longSafe,
+          (col("n") * (col("n") - 1) + lit(2L) * col("s2_both") - col("a2") - col("b2")).cast("double")
+            / (col("n") * (col("n") - 1)).cast("double")
+        ).otherwise((pd + s2d * 2.0 - a2d - b2d) / pd).as("rand"),
+        when(longSafe && col("t_pairs") * (col("a2") + col("b2")) - col("a2") * col("b2") =!= 0L,
+          (col("n") * (col("n") - 1) * col("s2_both") - col("a2") * col("b2")).cast("double")
+            / (col("t_pairs") * (col("a2") + col("b2")) - col("a2") * col("b2")).cast("double")
+        ).when(!longSafe && ariDenD =!= 0.0, (pd * s2d - a2d * b2d) / ariDenD)
+          .as("ari")
       )
   }
 

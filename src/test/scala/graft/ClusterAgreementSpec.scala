@@ -69,6 +69,15 @@ class ClusterAgreementSpec extends AnyFunSuite {
     assert(math.abs(r.getAs[Double]("ari") - ariBf.get) < 1e-12)
   }
 
+  test("big-n double arm (longSafeMax exceeded) matches the Long arm at small n") {
+    val rows = Seq((1L, "a", "p"), (2L, "a", "q"), (3L, "b", "p"), (4L, "b", "q"),
+      (5L, "a", "p"), (6L, "b", "q"), (7L, "c", "r"))
+    val long = row(rows)
+    val dbl = ClusterAgreement.agreement(assignDF(rows), longSafeMax = 2L).collect().head
+    assert(math.abs(long.getAs[Double]("rand") - dbl.getAs[Double]("rand")) < 1e-12)
+    assert(math.abs(long.getAs[Double]("ari") - dbl.getAs[Double]("ari")) < 1e-12)
+  }
+
   test("stability: drops ids absent from one run, agrees on the intersection") {
     import spark.implicits._
     val runA = Seq((1L, 10L), (2L, 10L), (3L, 11L), (9L, 12L)).toDF("doc_id", "cluster_id")
