@@ -59,8 +59,16 @@ object Ivf {
       iters: Int = 2,
       trainFraction: Double = 1.0
   ): DataFrame = {
-    require(k >= 1)
     val (members, probes) = index(vecs, nlist, nprobe, iters, trainFraction)
+    topKFrom(members, probes, k)
+  }
+
+  /** Top-k over a prebuilt index — callers that also instrument the
+    * candidate surface (op_ivf_recall) build [[index]] ONCE and consume
+    * both from it, instead of paying the quantizer training (the eager
+    * Lloyd iterations + centroid collect inside index()) twice. */
+  def topKFrom(members: DataFrame, probes: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1)
     val wTop = Window.partitionBy("id_a").orderBy(col("cos").desc, col("id_b"))
     probes
       .join(members, "cell")
@@ -85,7 +93,10 @@ object Ivf {
       iters: Int = 2,
       trainFraction: Double = 1.0
   ): (DataFrame, DataFrame) = {
-    require(nprobe <= nlist && trainFraction > 0 && trainFraction <= 1)
+    // nprobe >= 1 matters: slice(.., 1, 0) would yield an EMPTY probe
+    // array and a silently empty result instead of failing fast
+    require(nlist >= 1 && nprobe >= 1 && nprobe <= nlist &&
+      trainFraction > 0 && trainFraction <= 1)
     val base = vecs.select(
       lit(0L).as("group_id"),
       col("id").as("item_id"),

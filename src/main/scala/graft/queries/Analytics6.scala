@@ -39,7 +39,10 @@ object Analytics6 {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q40_persona_attribution" -> ((s, dir) => {
       val ev = t(s, dir, "events")
-      val personas = graft.ops.Profiles.personProfiles(ev).select(col("user_id"), col("persona"))
+      // userPersona directly: personProfiles wraps it in a second full
+      // events scan (sessionStats lag window) plus three household
+      // window columns, all of which this query would discard
+      val personas = graft.ops.ColdStart.userPersona(ev).select(col("user_id"), col("persona"))
       // converting users + their ordered pre-conversion channel paths
       // (the q17 path machinery: conversion terminates the path)
       val paths = graft.attribution.Attribution.userPaths(ev).where(col("converted"))
@@ -98,7 +101,11 @@ object Analytics6 {
     // q47: the cluster-agreement operator (Rand + Adjusted Rand) on two
     // real partitions of documents — lang vs first normalized token.
     // Exact integer pair-counting (doubled counts, no intermediate
-    // division); each index is one IEEE division of exact Longs.
+    // division); each index is one IEEE division of exact Longs. The
+    // oracle mirrors BOTH arms of agreement()'s longSafeMax=55000
+    // branch (exact Longs below, order-fixed double arithmetic above),
+    // so the cross-engine contract holds on any corpus size, not just
+    // under the Long-safe bound.
     "q47_cluster_agreement" -> ((s, dir) => {
       val assign = t(s, dir, "documents").select(
         col("doc_id").as("id"),
@@ -113,8 +120,11 @@ object Analytics6 {
     // mean/variance from exact integer-cent power sums (the Welford
     // row's batch math) — each emitted double is ONE correctly-rounded
     // IEEE division of exact Longs, so both engines land bit-identical.
-    // Long bounds: vc ≤ 56,021 cents, so n·Σvc² < 2^63 for n ≤ 2.6M
-    // rows/type (sf0.1 has ~20k).
+    // Long bounds: with vc ≤ 56,021 cents, both n·Σvc² and (Σvc)² stay
+    // under 2^63 worst-case (every row at vc_max) to n ≈ 54k rows/type,
+    // and at the observed sf0.1 value distribution (E[vc²] ≈ 5e7) to
+    // n ≈ 400k (sf0.1 has ~20k). Past the bound the ANSI sum/multiply
+    // throws loudly — never a silent wrap.
     "q45_temporal_moments" -> ((s, dir) => {
       val cents = t(s, dir, "events").select(
         col("event_type"),
@@ -311,11 +321,33 @@ object Analytics6 {
          core AS (SELECT CAST(sum(nij) AS BIGINT) AS n, CAST(sum(nij * (nij - 1)) AS BIGINT) AS s2_both FROM cells),
          am AS (SELECT CAST(sum(ai * (ai - 1)) AS BIGINT) AS a2 FROM (SELECT CAST(sum(nij) AS BIGINT) AS ai FROM cells GROUP BY ca)),
          bm AS (SELECT CAST(sum(bj * (bj - 1)) AS BIGINT) AS b2 FROM (SELECT CAST(sum(nij) AS BIGINT) AS bj FROM cells GROUP BY cb))
+         -- mirrors ClusterAgreement.agreement's two arms: exact Long
+         -- products up to the longSafeMax bound, then the SAME fixed
+         -- IEEE +,-,*,/ sequence over the still-exact Long components
+         -- (correctly-rounded ops in both engines -> identical bits;
+         -- unlike exp/ln this degradation arm IS cross-engine twinnable)
          SELECT n, (n * (n - 1)) // 2 AS t_pairs, s2_both, a2, b2,
-           CAST(n * (n - 1) + 2 * s2_both - a2 - b2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE) AS rand,
-           CASE WHEN ((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 <> 0
-             THEN CAST(n * (n - 1) * s2_both - a2 * b2 AS DOUBLE)
-                  / CAST(((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 AS DOUBLE)
+           CASE WHEN n <= 55000
+             THEN CAST(n * (n - 1) + 2 * s2_both - a2 - b2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+             ELSE (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) + CAST(s2_both AS DOUBLE) * 2.0
+                   - CAST(a2 AS DOUBLE) - CAST(b2 AS DOUBLE))
+                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           END AS rand,
+           CASE WHEN n <= 55000 THEN
+             CASE WHEN ((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 <> 0
+               THEN CAST(n * (n - 1) * s2_both - a2 * b2 AS DOUBLE)
+                    / CAST(((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 AS DOUBLE)
+             END
+           ELSE
+             CASE WHEN CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                       * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                       - CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE) <> 0.0
+               THEN (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) * CAST(s2_both AS DOUBLE)
+                     - CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) / 2.0
+                       * (CAST(a2 AS DOUBLE) + CAST(b2 AS DOUBLE))
+                       - CAST(a2 AS DOUBLE) * CAST(b2 AS DOUBLE))
+             END
            END AS ari
          FROM core, am, bm""",
     "q45_temporal_moments" ->

@@ -106,9 +106,12 @@ object OpsQueries {
       val k = 5
       val truth = Similarity.bruteForceTopK(vecs, k).select("id_a", "id_b")
         .localCheckpoint(true)
-      val found = graft.ops.Ivf.topK(vecs, nlist = 16, nprobe = 5, k = k, iters = 3)
-        .select("id_a", "id_b")
+      // ONE index build feeds both the top-k result and the candidate
+      // census (index() trains the quantizer eagerly — building it
+      // twice would run the full Lloyd iterations twice)
       val (members, probes) = graft.ops.Ivf.index(vecs, nlist = 16, nprobe = 5, iters = 3)
+      val found = graft.ops.Ivf.topKFrom(members, probes, k = k)
+        .select("id_a", "id_b")
       val nTrue = truth.count()
       val nFound = truth.join(found, Seq("id_a", "id_b"), "left_semi").count()
       val nCand = probes.join(members, "cell")
