@@ -62,10 +62,15 @@ object ClusterAgreement {
       .withColumn("t_pairs", expr("n * (n - 1) div 2"))
       .select(
         col("n"), col("t_pairs"), col("s2_both"), col("a2"), col("b2"),
-        when(longSafe,
-          (col("n") * (col("n") - 1) + lit(2L) * col("s2_both") - col("a2") - col("b2")).cast("double")
-            / (col("n") * (col("n") - 1)).cast("double")
-        ).otherwise((pd + s2d * 2.0 - a2d - b2d) / pd).as("rand"),
+        // n <= 1 has zero pairs: P = 0 and both arms would emit 0/0 =
+        // NaN, which Spark orders ABOVE every double — a ">= threshold"
+        // stability gate would read a pairless comparison as perfect.
+        // Null (like ari's undefined case) is the honest value.
+        when(col("n") > 1,
+          when(longSafe,
+            (col("n") * (col("n") - 1) + lit(2L) * col("s2_both") - col("a2") - col("b2")).cast("double")
+              / (col("n") * (col("n") - 1)).cast("double")
+          ).otherwise((pd + s2d * 2.0 - a2d - b2d) / pd)).as("rand"),
         when(longSafe && col("t_pairs") * (col("a2") + col("b2")) - col("a2") * col("b2") =!= 0L,
           (col("n") * (col("n") - 1) * col("s2_both") - col("a2") * col("b2")).cast("double")
             / (col("t_pairs") * (col("a2") + col("b2")) - col("a2") * col("b2")).cast("double")

@@ -269,8 +269,13 @@ object Pipeline {
       // scheduler backfills each job's shuffle/commit barriers with the
       // other chunks' tasks (sequential chunks left cores idle at every
       // barrier: measured 0.56 scaling efficiency 8→32 before this)
-      val conc = sys.env.get("SPARK_GRAFT_SCORE_CONC").map(_.toInt)
-        .getOrElse(math.min(cfg.scoreChunks, 8))
+      // fail at config read with the env var named, not mid-run with a
+      // bare NumberFormatException after blocking already committed
+      val conc = sys.env.get("SPARK_GRAFT_SCORE_CONC").map { s =>
+        scala.util.Try(s.trim.toInt).getOrElse(
+          throw new IllegalArgumentException(
+            s"SPARK_GRAFT_SCORE_CONC must be an integer, got '$s'"))
+      }.getOrElse(math.min(cfg.scoreChunks, 8))
       val pool = java.util.concurrent.Executors.newFixedThreadPool(math.max(1, conc))
       implicit val ec: scala.concurrent.ExecutionContext =
         scala.concurrent.ExecutionContext.fromExecutor(pool)
@@ -489,6 +494,22 @@ object Pipeline {
       ).repartitionByRange(col("cluster_id"), col("doc_id"))
     }
 
+    // contract: a RESUMED run must still end up delta-capable (same as
+    // keys/media_df/corpus_stats above). cc_assign is written inside
+    // the clusters compute block, which a _SUCCESS hit skips entirely —
+    // when resuming into persistForDelta over a clusters checkpoint
+    // from a non-delta run, recompute the pre-attach labels from the
+    // scored checkpoint (CC is deterministic, so these are the labels
+    // the original clusters table was built from). No-op on fresh runs:
+    // the inner write already committed its _SUCCESS.
+    if (cfg.persistForDelta && !done(s"$runDir/cc_assign")) {
+      ck.stage("cc_assign") {
+        val edges = scored.where(col("is_match"))
+          .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        ConnectedComponents.run(edges, docs.select("doc_id"), cfg.ccMaxIter).assignments
+      }
+    }
+
     graft.util.PhaseTracker.set("other")
     // drop EVERY chunk_<n> column, not just the current modulus: a
     // candidates checkpoint resumed under a different scoreChunks
@@ -638,8 +659,20 @@ object Pipeline {
         else Nil
       above :+ priorRunDir
     }
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$runDir/_parents"), parents.mkString("\n"))
+    // pin the prior chain exactly like _dictids pins the id mode: a
+    // delta dir resumed against a DIFFERENT prior would silently mix
+    // checkpoints computed against two priors (keys_new/candidates/
+    // scored from the first, contraction/media merge from the second)
+    locally {
+      val pm = java.nio.file.Paths.get(s"$runDir/_parents")
+      val chain = parents.mkString("\n")
+      if (java.nio.file.Files.exists(pm))
+        require(java.nio.file.Files.readString(pm).trim == chain.trim,
+          s"delta run dir $runDir was started against a different prior chain " +
+            s"(${java.nio.file.Files.readString(pm).trim.linesIterator.toSeq.lastOption.getOrElse("?")}) — " +
+            s"use a fresh delta dir for prior $priorRunDir")
+      else java.nio.file.Files.writeString(pm, chain)
+    }
 
     val ck = new Ckpt(spark, runDir, runId)
 

@@ -327,11 +327,13 @@ object Analytics6 {
          -- (correctly-rounded ops in both engines -> identical bits;
          -- unlike exp/ln this degradation arm IS cross-engine twinnable)
          SELECT n, (n * (n - 1)) // 2 AS t_pairs, s2_both, a2, b2,
-           CASE WHEN n <= 55000
-             THEN CAST(n * (n - 1) + 2 * s2_both - a2 - b2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
-             ELSE (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) + CAST(s2_both AS DOUBLE) * 2.0
-                   - CAST(a2 AS DOUBLE) - CAST(b2 AS DOUBLE))
-                  / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+           CASE WHEN n > 1 THEN
+             CASE WHEN n <= 55000
+               THEN CAST(n * (n - 1) + 2 * s2_both - a2 - b2 AS DOUBLE) / CAST(n * (n - 1) AS DOUBLE)
+               ELSE (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0) + CAST(s2_both AS DOUBLE) * 2.0
+                     - CAST(a2 AS DOUBLE) - CAST(b2 AS DOUBLE))
+                    / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))
+             END
            END AS rand,
            CASE WHEN n <= 55000 THEN
              CASE WHEN ((n * (n - 1)) // 2) * (a2 + b2) - a2 * b2 <> 0

@@ -38,14 +38,19 @@ object SnapshotTable {
     val d = manifestDir(root)
     if (!Files.exists(d)) Seq.empty
     else {
-      val it = Files.list(d).iterator()
-      val vs = Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-        .map(_.getFileName.toString)
-        .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-          s.stripPrefix("v").stripSuffix(".json").toInt
-        }
-        .toSeq
-      vs.sorted
+      // Files.list must be closed (javadoc: try-with-resources) — every
+      // public entry point funnels through here, so a leak here is one
+      // dangling directory fd per table operation
+      val stream = Files.list(d)
+      try {
+        val it = stream.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(_.getFileName.toString)
+          .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+            s.stripPrefix("v").stripSuffix(".json").toInt
+          }
+          .toSeq.sorted
+      } finally stream.close()
     }
   }
 
@@ -111,7 +116,13 @@ object SnapshotTable {
     val spec = partitionBy.getOrElse(currentSpec(root))
     val missing = spec.filterNot(df.columns.contains)
     require(missing.isEmpty, s"partition spec columns absent from data: ${missing.mkString(",")}")
-    val dataDir = s"data/v$v"
+    // the data dir is UNIQUE per write attempt, not just per version:
+    // two writers racing on the same v would otherwise both target
+    // data/v<N>, and the loser's mode("overwrite") would clobber the
+    // winner's ALREADY-COMMITTED files before its own manifest link
+    // failed — the manifest's dataDir field makes uniqueness free, and
+    // the loser's dir becomes exactly the documented orphan
+    val dataDir = s"data/v$v-${java.util.UUID.randomUUID().toString.take(8)}"
     val w = df.write.mode("overwrite")
     (if (spec.nonEmpty) w.partitionBy(spec: _*) else w).parquet(s"$root/$dataDir")
     commit(root, v, dataDir, parent = v - 1, note = note, spec = spec, cols = df.columns.toSeq)

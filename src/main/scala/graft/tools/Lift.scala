@@ -72,13 +72,19 @@ object Lift {
         col("n").as("n_docs"))
       .withColumn("lift",
         when(col("account_acc") > 0, (col("person_acc") - col("account_acc")) / col("account_acc")))
+      // SE = 0 (both accuracies exactly 0 or 1) would make z = 0/0 =
+      // NaN, and Spark orders NaN above every double — so an equal-
+      // proportions row would read "significant". Zero difference at
+      // zero SE is z = 0 by the gate's intent.
+      .withColumn("se2",
+        col("person_acc") * (lit(1.0) - col("person_acc")) / col("n_docs") +
+          col("account_acc") * (lit(1.0) - col("account_acc")) / col("n_docs"))
       .withColumn("z",
-        when(col("n_docs") > 0,
-          (col("person_acc") - col("account_acc")) /
-            sqrt(
-              col("person_acc") * (lit(1.0) - col("person_acc")) / col("n_docs") +
-                col("account_acc") * (lit(1.0) - col("account_acc")) / col("n_docs"))))
-      .withColumn("significant", abs(col("z")) >= lit(1.96))
+        when(col("n_docs") > 0 && col("se2") > 0,
+          (col("person_acc") - col("account_acc")) / sqrt(col("se2")))
+          .when(col("n_docs") > 0, lit(0.0)))
+      .drop("se2")
+      .withColumn("significant", coalesce(abs(col("z")) >= lit(1.96), lit(false)))
   }
 
   /** Fixture account grain: entities 2k and 2k+1 share an account. */
@@ -97,9 +103,12 @@ object Lift {
     val perDoc = assigned.join(labels.withColumn("group_id", groupOfEntity), "doc_id")
       .join(clusterMajority(assigned, labels), "cluster_id")
       .withColumn("ok", (col("entity_id") === col("majority_entity")).cast("long"))
+    // materialized once: the scalar crossJoin below would otherwise
+    // re-run the whole perDoc join pipeline for the ratio aggregate
     val byGroup = perDoc.groupBy("group_id")
       .agg(count(lit(1)).as("n_docs"),
         (sum(col("ok")).cast("double") / count(lit(1))).as("group_acc"))
+      .localCheckpoint(true)
     byGroup.crossJoin(
       byGroup.agg((min(col("group_acc")) / max(col("group_acc"))).as("disparate_impact")))
   }
@@ -148,9 +157,10 @@ object Lift {
     val att = graft.cluster.Attach.attachSingletons(cc.assignments.localCheckpoint(true), scored)
 
     val row = compute(att.select("doc_id", "cluster_id"), labels, fixtureAccount).head()
+    // lift/z are nullable (degenerate baselines) — print, don't NPE
+    def d(i: Int) = if (row.isNullAt(i)) "null" else f"${row.getDouble(i)}%.4f"
     println(f"[lift] person_acc=${row.getDouble(0)}%.4f account_acc=${row.getDouble(1)}%.4f " +
-      f"n=${row.getLong(2)} lift=${row.getDouble(3)}%.4f z=${row.getDouble(4)}%.2f " +
-      s"significant=${row.getBoolean(5)}")
+      s"n=${row.getLong(2)} lift=${d(3)} z=${d(4)} significant=${row.getBoolean(5)}")
     fairness(att.select("doc_id", "cluster_id"), cohortLabels(labels), col("cohort"))
       .orderBy("group_id").show(false)
     spark.stop()

@@ -56,6 +56,15 @@ class ClusterAgreementSpec extends AnyFunSuite {
     assert(r.getAs[Double]("rand") == 1.0)
   }
 
+  test("degenerate universe (single id, zero pairs): rand AND ari null, never NaN") {
+    // 0/0 would be NaN, which Spark orders above every double — a
+    // ">= threshold" stability gate would read a pairless comparison
+    // as perfect agreement
+    val r = row(Seq((1L, "a", "p")))
+    assert(r.isNullAt(r.fieldIndex("rand")))
+    assert(r.isNullAt(r.fieldIndex("ari")))
+  }
+
   test("matches independent brute-force pair counting on a mixed case") {
     // deterministic pseudo-random labels, 60 ids, 4 x 5 label space
     val labels = (0 until 60).map { i =>

@@ -158,4 +158,39 @@ class PipelineDeltaSpec extends AnyFunSuite {
     }
     assert(e3.getMessage.contains("cannot upsert"))
   }
+
+  test("_parents pin: resuming a delta dir against a different prior fails loudly") {
+    d1 // dirD1 holds a completed delta run against dirPrior
+    // a second delta-capable prior for the same increment
+    val dirPrior2 = dir("prior2")
+    Pipeline.run(spark, docsA, dirPrior2, Pipeline.Cfg(persistForDelta = true))
+    // re-invoking the SAME delta dir against the new prior must not
+    // silently mix checkpoints computed against two priors
+    val e = intercept[IllegalArgumentException] {
+      Pipeline.runDelta(spark, docsA, docsB, dirPrior2, dirD1)
+    }
+    assert(e.getMessage.contains("different prior chain"))
+    // the original prior still resumes cleanly (idempotent)
+    val resumed = Pipeline.runDelta(spark, docsA, docsB, dirPrior, dirD1)
+    assert(resumed.clusters.count() > 0)
+  }
+
+  test("resume into persistForDelta: a plain run's dir becomes delta-capable") {
+    val dirUp = dir("upgrade")
+    Pipeline.run(spark, docsA, dirUp) // no delta surfaces persisted
+    assert(!new java.io.File(s"$dirUp/cc_assign/_SUCCESS").exists())
+    // rerun same dir WITH persistForDelta: clusters checkpoint is hit,
+    // but cc_assign/keys/media_df/corpus_stats must still appear
+    val r2 = Pipeline.run(spark, docsA, dirUp, Pipeline.Cfg(persistForDelta = true))
+    Seq("cc_assign", "keys", "media_df", "corpus_stats").foreach { s =>
+      assert(new java.io.File(s"$dirUp/$s/_SUCCESS").exists(), s"$s missing after upgrade resume")
+    }
+    // and the upgraded dir actually works as a delta prior, with the
+    // recomputed pre-attach labels consistent with its clusters table
+    val d = Pipeline.runDelta(spark, docsA, docsB, dirUp, dir("upd"))
+    val full = Pipeline.run(spark, docsA.unionByName(docsB), dir("upfull"))
+    assert(d.clusters.orderBy("doc_id").collect().toSeq ==
+      full.clusters.orderBy("doc_id").collect().toSeq)
+    assert(r2.clusters.count() > 0)
+  }
 }

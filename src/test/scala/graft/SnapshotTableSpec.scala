@@ -31,9 +31,14 @@ class SnapshotTableSpec extends AnyFunSuite {
     // latest now reads v0's rows...
     val latest = SnapshotTable.read(spark, root)
     assert(latest.count() == 2 && latest.where(col("s") === "B").count() == 0)
-    // ...through v0's FILES (metadata-only: no new data dir appeared)
+    // ...through v0's FILES (metadata-only: no new data dir appeared,
+    // and the rollback manifest points at v0's exact dir)
     val dataDirs = new java.io.File(s"$root/data").listFiles().map(_.getName).toSet
-    assert(dataDirs == Set("v0", "v1"), s"rollback copied data: $dataDirs")
+    assert(dataDirs.size == 2, s"rollback copied data: $dataDirs")
+    val dirByV = SnapshotTable.history(spark, root)
+      .select("version", "data_dir").as[(Int, String)].collect().toMap
+    assert(dirByV(2) == dirByV(0), "rollback manifest does not reuse v0's data dir")
+    assert(dirByV(0) != dirByV(1), "snapshots must not share data dirs")
     // history intact: v1 still time-travels
     assert(SnapshotTable.readAsOf(spark, root, 1).count() == 3)
     assert(SnapshotTable.history(spark, root).count() == 3)
@@ -51,8 +56,11 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.history(spark, root).select("spec").as[String].collect().toSeq
       == Seq("", "country", "country"))
 
-    // layout: v1/v2 have Hive partition dirs, v0 does not
-    def dirs(v: Int) = new java.io.File(s"$root/data/v$v").listFiles().map(_.getName).toSet
+    // layout: v1/v2 have Hive partition dirs, v0 does not (data dirs
+    // are unique per write attempt — resolve them through the manifest)
+    val dataDirOf = SnapshotTable.history(spark, root)
+      .select("version", "data_dir").as[(Int, String)].collect().toMap
+    def dirs(v: Int) = new java.io.File(s"$root/${dataDirOf(v)}").listFiles().map(_.getName).toSet
     assert(!dirs(0).exists(_.startsWith("country=")))
     assert(dirs(1).filter(_.startsWith("country=")) == Set("country=us", "country=de"))
 
