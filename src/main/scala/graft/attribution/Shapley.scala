@@ -53,7 +53,7 @@ object Shapley {
   /** Exact Shapley values, O(n·2^n) (shapley_engine.py:96-137). */
   def exact(g: Game): Map[String, Double] = {
     val n = g.channels.size
-    val fact = Array.iterate(1.0, n + 1)(x => x) // placeholder, filled below
+    val fact = new Array[Double](n + 1)
     fact(0) = 1.0
     for (i <- 1 to n) fact(i) = fact(i - 1) * i
     val phi = new Array[Double](n)
@@ -99,6 +99,13 @@ object Shapley {
     val fact = new Array[Long](n + 1)
     fact(0) = 1L
     for (i <- 1 to n) fact(i) = fact(i - 1) * i
+    // |phi_num| <= n!·total (the per-i weights sum to n! and each diff
+    // is bounded by total) — guard the Long domain loudly instead of
+    // letting the "every step is Long-domain" claim silently wrap
+    // (the ClusterAgreement longSafeMax discipline)
+    require(n == 0 || total <= Long.MaxValue / fact(n),
+      s"exactScaledDF Long domain exceeded: n!*total_conv = ${fact(n)}*$total overflows Long — " +
+        "pre-aggregate conversions or reduce the channel set")
     val rows = channels.zipWithIndex.map { case (c, i) =>
       var acc = 0L
       for (mask <- 0 until (1 << n)) if ((mask & (1 << i)) == 0) {
@@ -133,12 +140,14 @@ object Shapley {
         row
       }
     }
+    val aggExprs =
+      (0 until n).flatMap(i => Seq(avg(col(s"c$i")).as(s"m$i"), stddev_samp(col(s"c$i")).as(s"s$i")))
     val stats = contribs
       .toDF("c")
       .select((0 until n).map(i => col("c").getItem(i).as(s"c$i")): _*)
       .agg(
-        (0 until n).flatMap(i => Seq(avg(col(s"c$i")).as(s"m$i"), stddev_samp(col(s"c$i")).as(s"s$i"))).head,
-        (0 until n).flatMap(i => Seq(avg(col(s"c$i")).as(s"m$i"), stddev_samp(col(s"c$i")).as(s"s$i"))).tail: _*
+        aggExprs.head,
+        aggExprs.tail: _*
       )
       .head()
     g.channels.zipWithIndex.map { case (c, i) =>

@@ -224,9 +224,15 @@ object Dedup {
     ).localCheckpoint(true)
     // cap pathological buckets (homogeneous corpora collapse many docs
     // onto the same band value) — bounded fan-out, same policy as
-    // blocking's block-size cap
-    val sizes = banded0.groupBy("band", "bk").agg(count(lit(1)).as("n"))
-    val banded = banded0.join(sizes.where(col("n") <= maxBucket), Seq("band", "bk"))
+    // blocking's block-size cap. A disabled cap (Int.MaxValue — the
+    // oracle-twin configuration) skips the census aggregate + join
+    // entirely: it would drop nothing and cost a full extra shuffle.
+    val banded =
+      if (maxBucket == Int.MaxValue) banded0
+      else {
+        val sizes = banded0.groupBy("band", "bk").agg(count(lit(1)).as("n"))
+        banded0.join(sizes.where(col("n") <= maxBucket), Seq("band", "bk"))
+      }
     val a = banded.select(col("band"), col("bk"), col("id").as("id_a"), col("simhash").as("s_a"))
     val b = banded.select(col("band"), col("bk"), col("id").as("id_b"), col("simhash").as("s_b"))
     a.join(b, Seq("band", "bk"))

@@ -47,7 +47,15 @@ object Profiles {
     p.withColumn("rk", row_number().over(rankW))
       .select(
         col("account_id"), col("user_id"), col("n_events"), col("n_sessions"), col("persona"),
-        round(col("engagement") / sum(col("engagement")).over(shareW), 6).as("engagement_share"),
+        // the share denominator re-enters the decimal domain before the
+        // window sum: each engagement is a 2-dp decimal round-tripped
+        // through double (lossless at this magnitude), so summing the
+        // DECIMALS is exact and order-free where a double window sum
+        // would drift at the ulp with partition order — then ONE IEEE
+        // division of two deterministic doubles, as everywhere else
+        round(col("engagement") /
+          sum(col("engagement").cast(DecimalType(18, 2))).over(shareW).cast("double"), 6)
+          .as("engagement_share"),
         concat(lit("Person "), expr("char(64 + rk)")).as("member_label")
       )
   }

@@ -86,8 +86,10 @@ object Analytics4 {
     //      assignments; silhouette-selected clusterGroups stays the
     //      production API, oracled analytically in KMeansSpec). The
     //      output is all-integer: counts + an assignment checksum
-    //      Σ item_id·(cluster+1), so any fp divergence that flipped a
-    //      single assignment would break the cross-engine match ----
+    //      Σ (item_id+1)·(cluster+1) — BOTH factors offset so id 0 and
+    //      cluster 0 still contribute (the testdata's min ids ARE 0) —
+    //      so any fp divergence that flipped a single assignment would
+    //      break the cross-engine match ----
     "op_kmeans_groups" -> ((s, dir) => {
       val pts = t(s, dir, "embeddings")
         .select(
@@ -100,7 +102,7 @@ object Analytics4 {
         .agg(
           count(lit(1)).as("n_points"),
           countDistinct("cluster").as("n_clusters_used"),
-          sum(col("item_id") * (col("cluster") + lit(1L))).as("assign_checksum")
+          sum((col("item_id") + lit(1L)) * (col("cluster") + lit(1L))).as("assign_checksum")
         )
     }),
 
@@ -127,7 +129,7 @@ object Analytics4 {
         .agg(
           count(lit(1)).as("n_members"),
           countDistinct("cluster").as("n_clusters_used"),
-          sum(col("item_id") * (col("cluster") + lit(1L))).as("assign_checksum")
+          sum((col("item_id") + lit(1L)) * (col("cluster") + lit(1L))).as("assign_checksum")
         )
     }),
 
@@ -229,7 +231,7 @@ object Analytics4 {
        FROM embeddings),
      ${LloydSql.chain(k = 4, iters = 2, dim = 64)}
      SELECT group_id, count(*) AS n_points, count(DISTINCT cluster) AS n_clusters_used,
-       CAST(sum(item_id * (cluster + 1)) AS BIGINT) AS assign_checksum
+       CAST(sum((item_id + 1) * (cluster + 1)) AS BIGINT) AS assign_checksum
      FROM a2 GROUP BY group_id"""
 
   /** op_kmeans_households oracle: the full reference chain — weighted
@@ -272,7 +274,7 @@ object Analytics4 {
              FROM fxm JOIN sd USING (group_id, pos) GROUP BY 1, 2),
      ${LloydSql.chain(k = 3, iters = 2, dim = 8)}
      SELECT group_id, count(*) AS n_members, count(DISTINCT cluster) AS n_clusters_used,
-       CAST(sum(item_id * (cluster + 1)) AS BIGINT) AS assign_checksum
+       CAST(sum((item_id + 1) * (cluster + 1)) AS BIGINT) AS assign_checksum
      FROM a2 GROUP BY group_id"""
 
   val oracleSql: Map[String, String] = Map(
@@ -338,7 +340,7 @@ object Analytics4 {
                 ELSE 'evening' END AS persona
          FROM sess s JOIN dom USING (user_id) JOIN peak USING (user_id))
        SELECT account_id, user_id, n_events, n_sessions, persona,
-         round(engagement / sum(engagement) OVER (PARTITION BY account_id), 6) AS engagement_share,
+         round(engagement / CAST(sum(CAST(engagement AS DECIMAL(18,2))) OVER (PARTITION BY account_id) AS DOUBLE), 6) AS engagement_share,
          'Person ' || chr(CAST(64 + row_number() OVER (PARTITION BY account_id ORDER BY n_events DESC, user_id) AS INTEGER)) AS member_label
        FROM p""",
     "q26_household_profiles" ->

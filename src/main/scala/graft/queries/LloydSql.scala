@@ -16,6 +16,11 @@ package graft.queries
 private[queries] object LloydSql {
 
   def chain(k: Int, iters: Int, dim: Int): String = {
+    // mirror the Spark twin's contract (KMeans.lloydDeterministicParts
+    // requires iters >= 1); iters = 0 would emit SQL referencing
+    // nonexistent CTEs and die with a confusing binder error instead
+    require(iters >= 1, s"LloydSql.chain requires iters >= 1 (got $iters)")
+    require(k >= 1 && dim >= 1, s"LloydSql.chain: k=$k dim=$dim must be >= 1")
     def assignCte(i: Int): String =
       s"""a$i AS (
          SELECT group_id, item_id, cluster, d FROM (

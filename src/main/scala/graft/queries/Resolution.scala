@@ -34,6 +34,14 @@ object Resolution {
 
   private val cache = scala.collection.concurrent.TrieMap.empty[String, Staged]
 
+  /** Order-insensitive assignment digest shared by pir_cluster_sizes /
+    * pir_quality / pir_delta: bit_xor(xxhash64(doc_id, cluster_id))
+    * changes if ANY doc moves cluster (canonical labels are the
+    * min-member doc_id, so stable across runs) — ONE definition so the
+    * driver artifacts stay comparable across queries and rounds. */
+  private def assignDigest(cl: DataFrame) =
+    coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L))
+
   def staged(spark: SparkSession, scale: String): Staged =
     cache.getOrElseUpdate(scale, {
       val cfg = Fixture.scales(scale)
@@ -59,13 +67,10 @@ object Resolution {
     // histogram rows PLUS a deterministic assignment digest — the pir_*
     // family has no DuckDB oracle (driver testdata lacks a span-schema
     // table), so the digest gives the driver artifact a stable value to
-    // diff across rounds: bit_xor(xxhash64(doc_id, cluster_id)) is
-    // order-insensitive and changes if ANY doc moves cluster (canonical
-    // labels are the min-member doc_id, so they're stable across runs)
+    // diff across rounds (see assignDigest)
     "pir_cluster_sizes" -> ((s, dir) => {
       val cl = staged(s, scaleFor(dir)).clusters
-      val digest = cl.agg(
-        coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)).as("assign_digest"))
+      val digest = cl.agg(assignDigest(cl).as("assign_digest"))
       cl.groupBy("cluster_id")
         .agg(count(lit(1)).as("n_docs"))
         .groupBy("n_docs")
@@ -92,9 +97,7 @@ object Resolution {
       val st = staged(s, scaleFor(dir))
       val (p, r, f1, pos, fp) =
         Calibrate.pairwiseF1(Calibrate.clusterPairs(st.clusters, st.candidates), st.candidates, st.labels)
-      val dg = st.clusters
-        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)))
-        .head().getLong(0)
+      val dg = st.clusters.agg(assignDigest(st.clusters)).head().getLong(0)
       Seq((p, r, f1, pos, fp, dg))
         .toDF("precision", "recall", "f1", "labeled_pos", "false_pos", "assign_digest")
     }),
@@ -118,11 +121,14 @@ object Resolution {
       val docs = spark.read.parquet(docsPath)
       val docsA = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) < 3)
       val docsB = docs.where(pmod(xxhash64(col("doc_id")), lit(5)) === 3)
-      def tmp(tag: String) =
-        java.nio.file.Files.createTempDirectory(s"graft_pir_delta_$tag").toString
-      def digest(cl: DataFrame): Long = cl
-        .agg(coalesce(bit_xor(xxhash64(col("doc_id"), col("cluster_id"))), lit(0L)))
-        .head().getLong(0)
+      val dirs = scala.collection.mutable.ArrayBuffer.empty[java.nio.file.Path]
+      def tmp(tag: String) = {
+        val p = java.nio.file.Files.createTempDirectory(s"graft_pir_delta_$tag")
+        dirs += p
+        p.toString
+      }
+      def digest(cl: DataFrame): Long =
+        cl.agg(assignDigest(cl)).head().getLong(0)
       val full = graft.pipeline.Pipeline.run(spark, docsA.unionByName(docsB), tmp("full"))
       val priorDir = tmp("prior")
       graft.pipeline.Pipeline.run(
@@ -132,6 +138,17 @@ object Resolution {
       val out = Seq((fd, dd, fd == dd, full.clusters.count(), delta.candidates.count()))
         .toDF("full_digest", "delta_digest", "full_eq_delta", "n_docs", "delta_pairs")
         .localCheckpoint(true)
+      // everything the caller needs is in the localCheckpointed row —
+      // drop the three full-pipeline temp dirs instead of leaking them
+      // into /tmp on every driver JVM that runs pir_delta
+      dirs.foreach { p =>
+        scala.util.Try {
+          val walk = java.nio.file.Files.walk(p)
+          try walk.sorted(java.util.Comparator.reverseOrder())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+          finally walk.close()
+        }
+      }
       deltaCache.set(out)
       out
     }
