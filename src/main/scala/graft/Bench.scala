@@ -84,9 +84,7 @@ object Bench {
     // artifact alone (round-2 lesson: a 2.2× task-CPU delta between two
     // "identical" runs was otherwise unattributable)
     // /proc/stat cpu line: user nice system idle iowait irq softirq steal
-    def procStatParts(): Array[Long] =
-      scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .split("\\s+").drop(1).map(_.toLong)
+    def procStatParts(): Array[Long] = graft.util.HostProbe.statParts()
     def procStatBusy(): Double = {
       val parts = procStatParts()
       (parts.sum - parts(3) - (if (parts.length > 4) parts(4) else 0L)) / 100.0
@@ -114,19 +112,7 @@ object Bench {
     // collapsed to ~50 MB/s; checkpoint-commit-heavy stages then burn
     // wall invisible to CPU counters). 128 MB synced sequential write,
     // bounded at a few seconds even when degraded.
-    def diskWMBps(): Double = {
-      val f = java.io.File.createTempFile("graft_diskprobe", ".bin")
-      try {
-        val buf = new Array[Byte](1 << 20)
-        val out = new java.io.FileOutputStream(f)
-        val t0 = System.nanoTime()
-        var i = 0
-        while (i < 128) { out.write(buf); i += 1 }
-        out.getFD.sync()
-        out.close()
-        128.0 / ((System.nanoTime() - t0) / 1e9)
-      } finally f.delete()
-    }
+    def diskWMBps(): Double = graft.util.HostProbe.diskWMBps()
     val diskW0 = scala.util.Try(diskWMBps()).getOrElse(-1.0)
     // sustained-load steal probe (round-5 burn-ladder lesson): this
     // host's steal only appears under sustained all-core demand, so an
@@ -237,16 +223,20 @@ object Bench {
     //    98-113, degraded-mode floor 36);
     //  - storage mode: either synced-write probe < 60 MB/s (healthy
     //    160-310, degraded floor 21).
+    val hp = graft.util.HostProbe
     val windowReasons = Seq(
       (stat0.length > 7 && stat1.length > 7 &&
-        statDelta(2, 5, 6) > 0.25 * (cpuNs.get / 1e9)) -> "host_sys_cpu",
-      (stat0.length > 7 && stat1.length > 7 && statDelta(7) > 60.0) -> "host_steal",
-      (math.min(memBw0, memBw1) > 0 && math.min(memBw0, memBw1) < 70.0) -> "mem_bw",
-      (math.min(diskW0, diskW1) > 0 && math.min(diskW0, diskW1) < 60.0) -> "disk_w",
+        statDelta(2, 5, 6) > hp.SysCpuMaxFracOfTask * (cpuNs.get / 1e9)) -> "host_sys_cpu",
+      (stat0.length > 7 && stat1.length > 7 &&
+        statDelta(7) > hp.StealRunMaxCoreS) -> "host_steal",
+      (math.min(memBw0, memBw1) > 0 &&
+        math.min(memBw0, memBw1) < hp.MemBwFloorGBps) -> "mem_bw",
+      (math.min(diskW0, diskW1) > 0 &&
+        math.min(diskW0, diskW1) < hp.DiskWFloorMBps) -> "disk_w",
       // loaded-steal mode: host withheld CPU under the pre-run burn
       // (threshold shared with tools.Weather; clean ladder reading
       // 0.03 cores at 8 threads, degraded 0.6-2.1 at 16-32)
-      (loadSteal0 > 0.3) -> "steal_under_load"
+      (loadSteal0 > hp.StealRateMax) -> "steal_under_load"
     ).collect { case (true, r) => r }
     val window =
       if (windowReasons.isEmpty) """"window":"clean","""

@@ -185,65 +185,69 @@ object Pipeline {
       mediaDfFrac: Option[DataFrame] = None
   ): DataFrame = {
     val chunkPruned = candidates.columns.contains(chunkCol)
-
-    // Stage S0 — doc representations, checkpointed once and shared by
-    // every scoring chunk (recomputing them per chunk would re-scan the
-    // whole input scoreChunks times)
     graft.util.PhaseTracker.set("scoring")
-    val textRep = ck.stage("text_rep")(Scoring.textRep(docs))
-    val mediaRep = ck.stage("media_rep")(mediaDfFrac match {
-      case Some(f) => Scoring.mediaRepWithDf(docs, f)
-      case None => Scoring.mediaRep(docs)
-    })
-
-    // Stage S1 (scorePath-dependent):
-    //  - dict: dense span-text dictionary + id-encoded rep, checkpointed
-    //    once; the dictionary is broadcast once and every chunk's kernel
-    //    reads it (see Scoring.scoreWithRepsDict).
-    //  - pair: distinct-text-pair score table, left-joined per chunk.
     require(Set("fused", "dict", "direct", "pair").contains(cfg.scorePath),
       s"unknown scorePath '${cfg.scorePath}'")
-    // dictionary-size gate (see Cfg.dictMaxBytes): estimate the
-    // broadcast footprint from the checkpointed dictionary BEFORE
-    // collecting it; over budget → the unbounded direct path. The
-    // estimate is one pruned two-column aggregate (utf-8 bytes +
-    // 32 B/entry for the byte-array object header and table slot).
-    var dictBcastBytes = 0L
-    val wantDict = cfg.scorePath == "dict" || cfg.scorePath == "fused"
-    val dictSide =
-      if (wantDict) {
-        val dict = ck.stage("text_dict")(Scoring.textDictDense(textRep))
-        val g = dict.agg(
-          coalesce(sum(octet_length(col("t"))), lit(0L)).as("b"),
-          count(lit(1)).as("n")
-        ).head()
-        dictBcastBytes = g.getLong(0) + 32L * g.getLong(1)
-        if (dictBcastBytes <= cfg.dictMaxBytes) {
-          val txtIds = ck.stage("text_ids")(Scoring.textIdsRep(textRep, dict))
-          Some((txtIds, Scoring.broadcastDict(dict)))
-        } else {
-          System.err.println(
-            f"[pipeline] span-text dictionary ≈ ${dictBcastBytes / 1e6}%.0f MB exceeds " +
-              f"dictMaxBytes=${cfg.dictMaxBytes / 1e6}%.0f MB — falling back to scorePath=direct")
-          None
-        }
-      } else None
-    val scorePath = if (wantDict && dictSide.isEmpty) "direct" else cfg.scorePath
-    val pairScores =
-      if (scorePath == "pair")
-        Some(ck.stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
-      else None
-
-    // one count on the checkpointed rep decides the fused path's rep
-    // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
-    val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
-      dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
 
     // Stage S — pair-level resumable scoring: chunk by pmod(salt, n);
     // each chunk commits independently (its own parquet _SUCCESS), the
     // stage-level _SUCCESS commits last. A rerun skips finished chunks.
+    // EVERYTHING the chunks consume (S0 reps, S1 dictionary + its
+    // driver collect/broadcast, the gate aggregates) is built inside
+    // this branch: a resume of a completed run must cost one parquet
+    // open, not a multi-GB dictionary broadcast it never reads.
     val scoredPath = s"$runDir/scored_pairs"
     if (!done(scoredPath)) {
+      // Stage S0 — doc representations, checkpointed once and shared by
+      // every scoring chunk (recomputing them per chunk would re-scan
+      // the whole input scoreChunks times)
+      val textRep = ck.stage("text_rep")(Scoring.textRep(docs))
+      val mediaRep = ck.stage("media_rep")(mediaDfFrac match {
+        case Some(f) => Scoring.mediaRepWithDf(docs, f)
+        case None => Scoring.mediaRep(docs)
+      })
+
+      // Stage S1 (scorePath-dependent):
+      //  - dict: dense span-text dictionary + id-encoded rep,
+      //    checkpointed once; the dictionary is broadcast once and every
+      //    chunk's kernel reads it (see Scoring.scoreWithRepsDict).
+      //  - pair: distinct-text-pair score table, left-joined per chunk.
+      // dictionary-size gate (see Cfg.dictMaxBytes): estimate the
+      // broadcast footprint from the checkpointed dictionary BEFORE
+      // collecting it; over budget → the unbounded direct path. The
+      // estimate is one pruned two-column aggregate (utf-8 bytes +
+      // 32 B/entry for the byte-array object header and table slot).
+      var dictBcastBytes = 0L
+      val wantDict = cfg.scorePath == "dict" || cfg.scorePath == "fused"
+      val dictSide =
+        if (wantDict) {
+          val dict = ck.stage("text_dict")(Scoring.textDictDense(textRep))
+          val g = dict.agg(
+            coalesce(sum(octet_length(col("t"))), lit(0L)).as("b"),
+            count(lit(1)).as("n")
+          ).head()
+          dictBcastBytes = g.getLong(0) + 32L * g.getLong(1)
+          if (dictBcastBytes <= cfg.dictMaxBytes) {
+            val txtIds = ck.stage("text_ids")(Scoring.textIdsRep(textRep, dict))
+            Some((txtIds, Scoring.broadcastDict(dict)))
+          } else {
+            System.err.println(
+              f"[pipeline] span-text dictionary ≈ ${dictBcastBytes / 1e6}%.0f MB exceeds " +
+                f"dictMaxBytes=${cfg.dictMaxBytes / 1e6}%.0f MB — falling back to scorePath=direct")
+            None
+          }
+        } else None
+      val scorePath = if (wantDict && dictSide.isEmpty) "direct" else cfg.scorePath
+      val pairScores =
+        if (scorePath == "pair")
+          Some(ck.stage("text_pair_scores")(Scoring.textPairScores(candidates, textRep, cfg.weights)))
+        else None
+
+      // one count on the checkpointed rep decides the fused path's rep
+      // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
+      val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
+        dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
+
       val t0 = System.nanoTime()
       // chunk-count marker: the stage read below globs every chunk=*
       // dir, so chunks committed by an earlier attempt with a DIFFERENT

@@ -56,8 +56,16 @@ object StreamDedup {
     )
     if (hashed.isStreaming)
       hashed.withWatermark("ts", watermark).dropDuplicatesWithinWatermark("content_hash")
-    else
-      hashed.dropDuplicates("content_hash")
+    else {
+      // dropDuplicates keeps an ARBITRARY row per key (partition- and
+      // AQE-order dependent), which breaks the stated first-arrival
+      // contract and makes the periodic batch tier disagree with the
+      // streaming tier run over run; rank by the same (ts, doc_id)
+      // order the streaming claimant uses. Still one shuffle.
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("content_hash").orderBy(col("ts"), col("doc_id"))
+      hashed.withColumn("_rn", row_number().over(w)).where(col("_rn") === 1).drop("_rn")
+    }
   }
 
   /** Online SimHash near-dup verdicts (see object doc). A doc may be

@@ -27,7 +27,12 @@ import org.apache.spark.sql.Row
   * the corpus write overwrites the batch's own subdir, and the delta
   * run dir's stages are `_SUCCESS`-gated (a replayed batch RESUMES the
   * half-finished delta instead of recomputing or double-counting).
-  * Empty batches are skipped (no chain link, no corpus dir).
+  * Empty batches are skipped (no chain link, no corpus dir). A replay
+  * is only idempotent when it carries the SAME rows — batch ids restart
+  * at 0 under a fresh `checkpointLocation`, so each chain link carries
+  * a `_batch_pin` (count + doc_id hash fold) and a different batch
+  * arriving under an existing id fails loudly instead of silently
+  * resuming the old batch's result (see [[resolveBatch]]).
   *
   * The stream must deliver each doc exactly once across batches
   * (runDelta's upsert guard fails loudly otherwise — increments add
@@ -60,6 +65,37 @@ object StreamResolve {
   ): Unit = {
     val spark = batch.sparkSession
     if (batch.isEmpty) return
+    // content pin: the _SUCCESS resume machinery makes a REPLAYED batch
+    // idempotent, but batch ids restart at 0 when the stream is pointed
+    // at a fresh checkpointLocation — and a different batch 0 against an
+    // existing runs/b0 would first clobber corpus/b0, then resume b0's
+    // completed delta and silently return the OLD batch's clusters. Pin
+    // each chain link to its batch content (row count + order-free
+    // xxhash64 fold of doc_id) and fail loudly on mismatch, the same
+    // discipline as runDelta's _parents / run's _dictids markers. The
+    // pin is checked BEFORE the corpus write so a mismatched restart
+    // leaves the chain intact.
+    val pinRow = batch.agg(
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)),
+      org.apache.spark.sql.functions.bit_xor(
+        org.apache.spark.sql.functions.xxhash64(
+          org.apache.spark.sql.functions.col("doc_id")))).head()
+    val pin = s"${pinRow.getLong(0)}:${pinRow.getLong(1)}"
+    val runDir = s"$chainDir/runs/b$batchId"
+    locally {
+      val marker = java.nio.file.Paths.get(s"$runDir/_batch_pin")
+      if (java.nio.file.Files.exists(marker)) {
+        val prior = java.nio.file.Files.readString(marker).trim
+        require(prior == pin,
+          s"$runDir was built from a different batch $batchId (pin $prior, incoming $pin) — " +
+            "the stream was restarted with a fresh checkpointLocation against an existing " +
+            "chainDir; reuse the original checkpoint, or rebaseline() into a new chain")
+      } else {
+        java.nio.file.Files.createDirectories(marker.getParent)
+        java.nio.file.Files.writeString(marker, pin)
+      }
+    }
     // idempotent corpus append: the batch owns its subdir
     val corpusDir = s"$chainDir/corpus/b$batchId"
     batch.write.mode("overwrite").parquet(corpusDir)
@@ -78,8 +114,7 @@ object StreamResolve {
       s"$chainDir has no corpus below batch $batchId — call seedCorpus(baseDocs, chainDir) " +
         "with the base run's docs before starting the stream")
     val priorDocs = spark.read.parquet(priorPaths: _*)
-    graft.pipeline.Pipeline.runDelta(
-      spark, priorDocs, batch, priorDir, s"$chainDir/runs/b$batchId", cfg)
+    graft.pipeline.Pipeline.runDelta(spark, priorDocs, batch, priorDir, runDir, cfg)
   }
 
   /** Persist the base run's docs as the chain's corpus seed (subdir

@@ -42,9 +42,7 @@ object DeltaBench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def statParts(): Array[Long] =
-      scala.io.Source.fromFile("/proc/stat").getLines().next()
-        .split("\\s+").drop(1).map(_.toLong)
+    def statParts(): Array[Long] = graft.util.HostProbe.statParts()
     val stat0 = scala.util.Try(statParts()).getOrElse(Array.empty[Long])
     val memBw0 = graft.util.MemBw.probeGBps()
 
@@ -109,8 +107,9 @@ object DeltaBench {
         idx.map(i => stat1(i) - stat0(i)).sum / 100.0
       else -1.0
     val windowReasons = Seq(
-      (statDelta(7) > 60.0) -> "host_steal",
-      (math.min(memBw0, memBw1) > 0 && math.min(memBw0, memBw1) < 70.0) -> "mem_bw"
+      (statDelta(7) > graft.util.HostProbe.StealRunMaxCoreS) -> "host_steal",
+      (math.min(memBw0, memBw1) > 0 &&
+        math.min(memBw0, memBw1) < graft.util.HostProbe.MemBwFloorGBps) -> "mem_bw"
     ).collect { case (true, r) => r }
     val window =
       if (windowReasons.isEmpty) """"window":"clean""""

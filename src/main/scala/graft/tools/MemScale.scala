@@ -19,9 +19,7 @@ import graft.util.{MemBw, MemGather}
   * like auto_trio.sh to avoid sbt noise).
   */
 object MemScale {
-  private def statParts(): Array[Long] =
-    scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .split("\\s+").drop(1).map(_.toLong)
+  private def statParts(): Array[Long] = graft.util.HostProbe.statParts()
 
   def main(args: Array[String]): Unit = {
     // steal measured across the ladder itself: the probes ARE the load

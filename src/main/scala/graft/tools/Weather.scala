@@ -19,34 +19,19 @@ package graft.tools
   *    userland) is the only workload.
   */
 object Weather {
-  private def statParts(): Array[Long] =
-    scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .split("\\s+").drop(1).map(_.toLong)
-
-  private def diskWMBps(): Double = {
-    val f = java.io.File.createTempFile("graft_diskprobe", ".bin")
-    try {
-      val buf = new Array[Byte](1 << 20)
-      val out = new java.io.FileOutputStream(f)
-      val t0 = System.nanoTime()
-      var i = 0
-      while (i < 128) { out.write(buf); i += 1 }
-      out.getFD.sync()
-      out.close()
-      128.0 / ((System.nanoTime() - t0) / 1e9)
-    } finally f.delete()
-  }
+  import graft.util.HostProbe
 
   def main(args: Array[String]): Unit = {
-    val s0 = statParts(); val t0 = System.nanoTime()
+    val s0 = HostProbe.statParts(); val t0 = System.nanoTime()
     val bw = graft.util.MemBw.probeGBps()
-    val s1 = statParts(); val t1 = System.nanoTime()
+    val s1 = HostProbe.statParts(); val t1 = System.nanoTime()
     val wall = (t1 - t0) / 1e9
     // /proc/stat fields: user nice system idle iowait irq softirq steal
-    def d(i: Int) = (s1(i) - s0(i)) / 100.0
+    def d(i: Int) =
+      if (s0.length > i && s1.length > i) (s1(i) - s0(i)) / 100.0 else 0.0
     val sysRate = (d(2) + d(5) + d(6)) / wall // system+irq+softirq core-s/s
-    val stealRate = (if (s0.length > 7) d(7) else 0.0) / wall
-    val disk = scala.util.Try(diskWMBps()).getOrElse(-1.0)
+    val stealRate = d(7) / wall
+    val disk = scala.util.Try(HostProbe.diskWMBps()).getOrElse(-1.0)
     // Round-5 burn-ladder lesson: steal is LOAD-DEPENDENT on this host —
     // the short sweep above reads ~0 steal in windows where a sustained
     // all-core burn measures 1-2+ stolen cores (and a 32-thread Spark
@@ -58,11 +43,11 @@ object Weather {
       if (args.headOption.contains("fast")) (-1.0, -1.0)
       else graft.util.LoadProbe.stealUnderLoad()
     val reasons = Seq(
-      (bw < 70.0) -> "mem_bw",
-      (disk >= 0 && disk < 60.0) -> "disk_w",
-      (stealRate > 0.3) -> "steal",
-      (sysRate > 2.0) -> "host_sys",
-      (loadSteal > 0.3) -> "steal_under_load"
+      (bw < HostProbe.MemBwFloorGBps) -> "mem_bw",
+      (disk >= 0 && disk < HostProbe.DiskWFloorMBps) -> "disk_w",
+      (stealRate > HostProbe.StealRateMax) -> "steal",
+      (sysRate > HostProbe.SysRateMax) -> "host_sys",
+      (loadSteal > HostProbe.StealRateMax) -> "steal_under_load"
     ).collect { case (true, r) => r }
     val window = if (reasons.isEmpty) "clean" else "degraded"
     println(

@@ -14,9 +14,7 @@ package graft.util
   * Returns (stealCoresPerSec, sysCoresPerSec) over the burn window.
   */
 object LoadProbe {
-  private def statParts(): Array[Long] =
-    scala.io.Source.fromFile("/proc/stat").getLines().next()
-      .split("\\s+").drop(1).map(_.toLong)
+  private def statParts(): Array[Long] = HostProbe.statParts()
 
   def stealUnderLoad(
       threads: Int = Runtime.getRuntime.availableProcessors(),

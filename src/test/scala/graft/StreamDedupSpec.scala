@@ -36,6 +36,12 @@ class StreamDedupSpec extends AnyFunSuite {
       val batch = StreamDedup.exact(docs.toDF())
         .select("doc_id").collect().map(_.getString(0)).sorted
       assert(batch.toSeq == Seq("a", "c"))
+      // adversarial layout: rows reversed and spread over partitions —
+      // dropDuplicates would keep whichever row wins the shuffle race;
+      // the first-arrival contract must still keep the (ts, doc_id) min
+      val scrambled = StreamDedup.exact(docs.reverse.toDF().repartition(4))
+        .select("doc_id").collect().map(_.getString(0)).sorted
+      assert(scrambled.toSeq == Seq("a", "c"), scrambled.mkString(","))
     } finally q.stop()
   }
 

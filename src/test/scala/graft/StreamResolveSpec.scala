@@ -72,6 +72,21 @@ class StreamResolveSpec extends AnyFunSuite {
       full.clusters,
       "replayed clusters")
 
+    // a DIFFERENT batch arriving under an existing id (the signature of
+    // a restart with a fresh checkpointLocation — batch ids reset to 0)
+    // must fail loudly BEFORE touching the chain, not silently resume
+    // the old batch's completed delta
+    val ex = intercept[IllegalArgumentException] {
+      StreamResolve.resolveBatch(part(3).toDF(), 1L, baseDir, chainDir, cfg)
+    }
+    assert(ex.getMessage.contains("different batch"), ex.getMessage)
+    assertSameRows(
+      spark.read.parquet(s"$chainDir/corpus/b1"), part(4).toDF(),
+      "corpus b1 after pin mismatch")
+    assertSameRows(
+      StreamResolve.latestClusters(spark, chainDir, baseDir), full.clusters,
+      "clusters after pin mismatch")
+
     // the chain did delta-sized work: batch-1 candidates all touch a
     // batch-1 doc
     val cand1 = spark.read.parquet(s"$chainDir/runs/b1/candidates")
