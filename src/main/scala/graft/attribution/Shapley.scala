@@ -2,6 +2,7 @@ package graft.attribution
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Shapley-value attribution (reference: src/attribution/
   * shapley_engine.py:96-173) with the characteristic function the
@@ -78,7 +79,10 @@ object Shapley {
     * values, the same bounded-reduction split as [[exact]] and the
     * Markov chain algebra (reference: shapley_engine.py:96-137).
     * Output: (channel, n_channels, total_conv, phi_num). */
-  def exactScaledDF(events: DataFrame, convType: String = "purchase"): DataFrame = {
+  /** Shared distributed-count + zeta-transform prelude of the integer
+    * engines: sorted channel vocabulary, raw (unnormalized) v over all
+    * 2^n masks, and the total conversion count. */
+  private def rawGame(events: DataFrame, convType: String): (Vector[String], Array[Long], Long) = {
     val spark = events.sparkSession
     import spark.implicits._
     val coalitions: Seq[(Seq[String], Long)] =
@@ -96,6 +100,14 @@ object Shapley {
     }
     for (i <- 0 until n; mask <- 0 until (1 << n))
       if ((mask & (1 << i)) != 0) vraw(mask) += vraw(mask ^ (1 << i))
+    (channels, vraw, total)
+  }
+
+  def exactScaledDF(events: DataFrame, convType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (channels, vraw, total) = rawGame(events, convType)
+    val n = channels.size
     val fact = new Array[Long](n + 1)
     fact(0) = 1L
     for (i <- 1 to n) fact(i) = fact(i - 1) * i
@@ -155,6 +167,47 @@ object Shapley {
       val s = Option(stats.getAs[Double](s"s$i")).getOrElse(0.0)
       c -> (m, s / math.sqrt(samples.toDouble))
     }.toMap
+  }
+
+  /** Deterministic Monte Carlo Shapley as a distributed DataFrame —
+    * the cross-engine-verifiable twin of [[monteCarlo]] (q48). Sample
+    * k's permutation is the lexicographic order of
+    * md5(k || '|' || channel) — an engine-independent shuffle (the
+    * md5-twin discipline of q28/q32-q34) — and every accumulation is
+    * Long-domain: mc_num(i) = Σ_k [vraw(prefix_k(i)∪{i}) −
+    * vraw(prefix_k(i))] is an exact integer whose estimate is
+    * mc_num / (samples · total), so the cross-engine hash can't drift
+    * on fp fold order (and, unlike a seeded JVM RNG, the sampling
+    * itself is reproducible by ANY engine). The v table (2^n ≤ 4096
+    * rows) broadcasts; the samples×channels fan-out and the
+    * prefix-mask window run distributed, so the sample count scales
+    * without a driver loop. Integer invariant:
+    * Σ_i mc_num = samples · (vraw(full) − vraw(∅)).
+    * Output: (channel, samples, total_conv, mc_num).
+    * Reference: shapley_engine.py:139-173 (permutation sampling). */
+  def monteCarloDetDF(events: DataFrame, samples: Int, convType: String = "purchase"): DataFrame = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    val (channels, vraw, total) = rawGame(events, convType)
+    val vDf = vraw.toIndexedSeq.zipWithIndex
+      .map { case (v, m) => (m.toLong, v) }.toDF("mask", "v")
+    val chDf = channels.zipWithIndex
+      .map { case (c, i) => (c, 1L << i) }.toDF("channel", "bit")
+    val w = Window.partitionBy("k").orderBy("key", "channel")
+    spark.range(samples).toDF("k")
+      .crossJoin(broadcast(chDf)) // ≤ MaxChannels rows — bounded fan-out
+      .withColumn("key", md5(concat(col("k").cast("string"), lit("|"), col("channel"))))
+      // channels before this one in sample k's permutation, as a mask;
+      // bit ∉ prefix, so prefix + bit == prefix | bit (Long-exact)
+      .withColumn("prefix",
+        coalesce(sum(col("bit")).over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .join(broadcast(vDf.select(col("mask").as("m0"), col("v").as("v0"))), col("prefix") === col("m0"))
+      .join(broadcast(vDf.select(col("mask").as("m1"), col("v").as("v1"))),
+        (col("prefix") + col("bit")) === col("m1"))
+      .groupBy("channel")
+      .agg(sum(col("v1") - col("v0")).as("mc_num"))
+      .select(col("channel"), lit(samples.toLong).as("samples"),
+        lit(total).as("total_conv"), col("mc_num"))
   }
 
   /** Hybrid blend H_i = α·markov_i + (1−α)·shapley_i, renormalized;

@@ -92,6 +92,14 @@ object Analytics6 {
     // order. DuckDB replays the identical subset algebra from scratch.
     "q44_shapley_exact" -> ((s, dir) =>
       graft.attribution.Shapley.exactScaledDF(t(s, dir, "events"))),
+    // q48: the PRODUCTION deterministic Monte Carlo Shapley
+    // (Shapley.monteCarloDetDF) — permutation sampling where sample
+    // k's order is the lexicographic sort of md5(k|channel), so DuckDB
+    // replays the identical permutations; mc_num is an exact Long
+    // (sum of vraw marginals along each permutation), no fp fold
+    // order anywhere.
+    "q48_shapley_mc" -> ((s, dir) =>
+      graft.attribution.Shapley.monteCarloDetDF(t(s, dir, "events"), samples = 256)),
     // q46: the Markov chain's row-stochastic normalize as a distributed
     // query — the driver-local absorption algebra's input matrix,
     // cross-engine verified. n and out_total are exact Longs; p is one
@@ -153,6 +161,42 @@ object Analytics6 {
             / (col("n") * col("n") * lit(10000L)).cast("double")).as("var_value"))
     })
   )
+
+  /** Shared DuckDB prelude of the Shapley oracles (q44/q48): coalition
+    * counting from events (q17's path semantics), channel indexing, and
+    * the raw subset-sum table v over all 2^n masks — the SQL twin of
+    * Shapley.rawGame. */
+  private val shapleyGameCtes: String =
+    """e AS (
+           SELECT user_id, event_type,
+                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         fc AS (SELECT user_id, min(rn) AS conv_rn FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+         kept AS (
+           SELECT e.user_id, e.event_type
+           FROM e JOIN fc ON e.user_id = fc.user_id
+           WHERE e.rn < fc.conv_rn),
+         csets AS (
+           SELECT f.user_id,
+             coalesce(list_sort(list(DISTINCT k.event_type) FILTER (WHERE k.event_type IS NOT NULL)),
+                      CAST([] AS VARCHAR[])) AS channels
+           FROM fc f LEFT JOIN kept k ON f.user_id = k.user_id
+           GROUP BY f.user_id),
+         coal AS (SELECT channels, count(*) AS cnt FROM csets GROUP BY channels),
+         chans AS (
+           SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS i
+           FROM (SELECT DISTINCT unnest(channels) AS ch FROM coal)),
+         nn AS (SELECT count(*) AS n FROM chans),
+         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM coal),
+         coalmask AS (
+           SELECT co.cnt,
+             coalesce((SELECT sum(1 << c.i) FROM chans c WHERE list_contains(co.channels, c.ch)), 0) AS mask
+           FROM coal co),
+         masks AS (SELECT unnest(range(0, 1 << (SELECT n FROM nn))) AS mask),
+         vraw AS (
+           SELECT m.mask, CAST(coalesce(sum(cm.cnt), 0) AS BIGINT) AS v
+           FROM masks m LEFT JOIN coalmask cm ON (m.mask & cm.mask) = cm.mask
+           GROUP BY m.mask)"""
 
   val oracleSql: Map[String, String] = Map(
     "q40_persona_attribution" ->
@@ -260,36 +304,7 @@ object Analytics6 {
          JOIN cnt cb ON i.id_b = cb.id
          WHERE CAST(i.inter AS DOUBLE) / CAST(ca.ng + cb.ng - i.inter AS DOUBLE) >= 0.35""",
     "q44_shapley_exact" ->
-      """WITH e AS (
-           SELECT user_id, event_type,
-                  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-           FROM events),
-         fc AS (SELECT user_id, min(rn) AS conv_rn FROM e WHERE event_type = 'purchase' GROUP BY user_id),
-         kept AS (
-           SELECT e.user_id, e.event_type
-           FROM e JOIN fc ON e.user_id = fc.user_id
-           WHERE e.rn < fc.conv_rn),
-         csets AS (
-           SELECT f.user_id,
-             coalesce(list_sort(list(DISTINCT k.event_type) FILTER (WHERE k.event_type IS NOT NULL)),
-                      CAST([] AS VARCHAR[])) AS channels
-           FROM fc f LEFT JOIN kept k ON f.user_id = k.user_id
-           GROUP BY f.user_id),
-         coal AS (SELECT channels, count(*) AS cnt FROM csets GROUP BY channels),
-         chans AS (
-           SELECT ch, row_number() OVER (ORDER BY ch) - 1 AS i
-           FROM (SELECT DISTINCT unnest(channels) AS ch FROM coal)),
-         nn AS (SELECT count(*) AS n FROM chans),
-         tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM coal),
-         coalmask AS (
-           SELECT co.cnt,
-             coalesce((SELECT sum(1 << c.i) FROM chans c WHERE list_contains(co.channels, c.ch)), 0) AS mask
-           FROM coal co),
-         masks AS (SELECT unnest(range(0, 1 << (SELECT n FROM nn))) AS mask),
-         vraw AS (
-           SELECT m.mask, CAST(coalesce(sum(cm.cnt), 0) AS BIGINT) AS v
-           FROM masks m LEFT JOIN coalmask cm ON (m.mask & cm.mask) = cm.mask
-           GROUP BY m.mask),
+      s"""WITH $shapleyGameCtes,
          fact AS (
            SELECT i, CAST((SELECT coalesce(product(x), 1) FROM unnest(range(1, i + 1)) AS t(x)) AS BIGINT) AS f
            FROM (SELECT unnest(range(0, (SELECT n FROM nn) + 1)) AS i))
@@ -304,6 +319,30 @@ object Analytics6 {
          JOIN fact fs ON fs.i = bit_count(m.mask)
          JOIN fact fn ON fn.i = (SELECT n FROM nn) - bit_count(m.mask) - 1
          GROUP BY c.ch""",
+    // same game prelude as q44; the MC layer replays each sample's
+    // md5-ordered permutation with a prefix-mask window sum and
+    // accumulates the Long marginals — bit-exact by construction
+    "q48_shapley_mc" ->
+      s"""WITH $shapleyGameCtes,
+         samples AS (SELECT unnest(range(0, 256)) AS k),
+         perm AS (
+           SELECT s.k, c.ch, c.i,
+             md5(CAST(s.k AS VARCHAR) || '|' || c.ch) AS key
+           FROM samples s CROSS JOIN chans c),
+         pm AS (
+           SELECT k, ch, i,
+             coalesce(CAST(sum(1 << i) OVER (
+               PARTITION BY k ORDER BY key, ch
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS prefix
+           FROM perm)
+         SELECT pm.ch AS channel,
+           CAST(256 AS BIGINT) AS samples,
+           (SELECT total FROM tot) AS total_conv,
+           CAST(sum(v1.v - v0.v) AS BIGINT) AS mc_num
+         FROM pm
+         JOIN vraw v0 ON v0.mask = pm.prefix
+         JOIN vraw v1 ON v1.mask = pm.prefix + (1 << pm.i)
+         GROUP BY pm.ch""",
     // wraps q17's oracle verbatim — the probability layer is just a
     // window sum + one division on top of the counts both engines
     // already agree on

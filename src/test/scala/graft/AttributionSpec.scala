@@ -135,6 +135,42 @@ class AttributionSpec extends AnyFunSuite {
     assert(scaled.map(_._4).sum == fact * (total - 1), "integer efficiency (one empty-path converter)")
   }
 
+  test("Shapley monteCarloDetDF: deterministic, integer-efficient, converges to exact") {
+    val ev = eventsDF(Seq(
+      (1L, "2024-01-01 10:00:00", 1L, "click"),
+      (2L, "2024-01-01 10:01:00", 1L, "view"),
+      (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+      (4L, "2024-01-01 11:00:00", 2L, "purchase"), // empty path, converts
+      (5L, "2024-01-01 12:00:00", 3L, "view"), // never converts
+      (6L, "2024-01-01 13:00:00", 4L, "view"),
+      (7L, "2024-01-01 13:01:00", 4L, "purchase"),
+      (8L, "2024-01-01 14:00:00", 5L, "signup"),
+      (9L, "2024-01-01 14:01:00", 5L, "click"),
+      (10L, "2024-01-01 14:02:00", 5L, "purchase")
+    ))
+    val s = 512
+    val rows = Shapley.monteCarloDetDF(ev, samples = s).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    val total = rows.head._3
+    assert(rows.map(_._1).toSeq == Seq("click", "signup", "view") && total == 4L)
+    // integer efficiency: Σ mc_num = samples·(v(full) − v(∅));
+    // one empty-path converter ⇒ v(∅) = 1
+    assert(rows.map(_._4).sum == s.toLong * (total - 1), s"integer efficiency: $rows")
+    // bit-stable across invocations (the cross-engine q48 contract)
+    val again = Shapley.monteCarloDetDF(ev, samples = s).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sortBy(_._1)
+    assert(rows.toSeq == again.toSeq, "determinism")
+    // MC estimate converges on the exact values (n=3 ⇒ only 6
+    // permutations; 512 md5-shuffled samples cover them near-uniformly)
+    import spark.implicits._
+    val phi = Shapley.exact(Shapley.game(
+      Shapley.coalitionCounts(ev).as[(Seq[String], Long)].collect().toSeq))
+    rows.foreach { case (ch, _, _, num) =>
+      val est = num.toDouble / (s.toDouble * total)
+      assert(math.abs(est - phi(ch)) < 0.05, s"$ch: mc=$est exact=${phi(ch)}")
+    }
+  }
+
   test("Shapley Monte Carlo approximates exact within 3 SE + tolerance") {
     val g = Shapley.game(Seq(
       (Seq("A"), 10L), (Seq("B"), 5L), (Seq("A", "C"), 15L), (Seq("B", "C"), 10L)
