@@ -20,7 +20,12 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
+      // SPARK_GRAFT_MASTER lets spark-submit drive the same bench on a
+      // real multi-executor master (standalone/local-cluster) — the
+      // N-vs-4N *executor* evidence; default stays single-JVM local.
+      // SPARK_GRAFT_CPUS remains the TOTAL core count either way (it
+      // sizes shuffle partitions and the throughput denominators).
+      .master(sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cpus]"))
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.adaptive.enabled", "true")
       // checkpoint tables are small-but-CPU-dense; don't pack them into
@@ -253,7 +258,12 @@ object Bench {
         s""""disk_w_mbps_end":${math.round(diskW1 * 10) / 10.0},""" +
         s""""load_steal_cores_start":${math.round(loadSteal0 * 100) / 100.0},""" +
         s""""load_sys_cores_start":${math.round(loadSys0 * 100) / 100.0},""" +
-        s""""load_avg_start":$load0,"load_avg_end":${loadAvg()}"""
+        s""""load_avg_start":$load0,"load_avg_end":${loadAvg()},""" +
+        // which execution topology produced this artifact: master URL +
+        // distinct executor JVMs observed (1 for local[*]; the executor
+        // count under spark-submit on a real master)
+        s""""master":"${spark.sparkContext.master}",""" +
+        s""""executors":${spark.sparkContext.statusTracker.getExecutorInfos.length - 1}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},"stage_shuffle_w_gb":${phaseJson(phaseShufW, 1e9)},"stage_shuffle_r_gb":${phaseJson(phaseShufR, 1e9)},"io_codec":"${sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")}","parquet_codec":"${sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")}",$env}"""
     // belt-and-braces: the JSON also lands in a file (round 1's line was
