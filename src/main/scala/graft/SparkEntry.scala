@@ -1,6 +1,6 @@
 package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
-import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, OpsQueries, Resolution}
+import graft.queries.{Analytics, Analytics2, Analytics3, Analytics4, Analytics5, Analytics6, Analytics7, OpsQueries, Resolution}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -17,7 +17,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     Analytics.queries ++ Analytics2.queries ++ Analytics3.queries ++
       Analytics4.queries ++ Analytics5.queries ++ Analytics6.queries ++
-      OpsQueries.queries ++ Resolution.queries
+      Analytics7.queries ++ OpsQueries.queries ++ Resolution.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted for the fixture-based resolution
@@ -25,5 +25,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     Analytics.oracleSql ++ Analytics2.oracleSql ++ Analytics3.oracleSql ++
       Analytics4.oracleSql ++ Analytics5.oracleSql ++ Analytics6.oracleSql ++
-      OpsQueries.oracleSql
+      Analytics7.oracleSql ++ OpsQueries.oracleSql
 }

@@ -210,6 +210,56 @@ object Shapley {
         lit(total).as("total_conv"), col("mc_num"))
   }
 
+  /** Hybrid Markov×Shapley blend in SCALED INTEGER arithmetic — the
+    * cross-engine-verifiable twin of [[hybrid]] (q49). Markov arm:
+    * the path-based removal-effect integers m_num(c) = converting
+    * users touched by c (q18's counts), normalized by M = Σ m_num.
+    * Shapley arm: q44's exact phi_num(c), normalized by
+    * S = Σ phi_num (the efficiency sum). With α = alphaNum/alphaDen,
+    *   hybrid_num(c) = alphaNum·m_num(c)·S + (alphaDen−alphaNum)·phi_num(c)·M
+    *   hybrid_den    = alphaDen·M·S
+    * are exact Longs (domain guarded loudly, the q44 discipline), so
+    * value conservation Σ_c hybrid_num = hybrid_den holds EXACTLY —
+    * not within 1e-9 — and the emitted share is ONE IEEE division, so
+    * the cross-engine hash can't drift on fp fold order. Both arms'
+    * distributed halves (path extraction, coalition counts) each scan
+    * events once; at 100 TB you'd checkpoint userPaths and feed both.
+    * Reference: hybrid_engine.py:217-218 (α·markov + (1−α)·shapley),
+    * hybrid_engine.py:191-253 (conservation). */
+  def hybridScaledDF(
+      events: DataFrame,
+      alphaNum: Long = 2L,
+      alphaDen: Long = 5L,
+      convType: String = "purchase"): DataFrame = {
+    require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
+      s"alpha = $alphaNum/$alphaDen outside [0,1]")
+    val phi = exactScaledDF(events, convType).select(col("channel"), col("phi_num"))
+    val m = Attribution.removalEffectsPathBased(events, convType)
+      .select(col("channel"), col("n_conv_with").as("m_num"))
+    // channel vocabularies coincide (both are the distinct channels on
+    // converting paths) — full outer + fill(0) keeps the contract
+    // honest if one arm ever drops a channel
+    val joined = m.join(phi, Seq("channel"), "full_outer")
+      .na.fill(0L, Seq("m_num", "phi_num"))
+    val dens = joined.agg(sum("m_num").as("m_den"), sum("phi_num").as("s_den"))
+    locally { // Long-domain guard (phi_num, m_num ≥ 0: the game is monotone)
+      val r = dens.head()
+      val mDen = if (r.isNullAt(0)) 0L else r.getLong(0)
+      val sDen = if (r.isNullAt(1)) 0L else r.getLong(1)
+      require(mDen == 0L || sDen == 0L || Long.MaxValue / mDen / sDen >= alphaDen,
+        s"hybridScaledDF Long domain exceeded: $alphaDen*$mDen*$sDen overflows Long — " +
+          "pre-aggregate conversions or reduce the channel set")
+    }
+    val hnum = lit(alphaNum) * col("m_num") * col("s_den") +
+      lit(alphaDen - alphaNum) * col("phi_num") * col("m_den")
+    val hden = lit(alphaDen) * col("m_den") * col("s_den")
+    joined.crossJoin(dens).select(
+      col("channel"), col("m_num"), col("m_den"), col("phi_num"), col("s_den"),
+      hnum.as("hybrid_num"), hden.as("hybrid_den"),
+      when(hden > 0, hnum.cast("double") / hden.cast("double"))
+        .otherwise(lit(0.0)).as("hybrid_share"))
+  }
+
   /** Hybrid blend H_i = α·markov_i + (1−α)·shapley_i, renormalized;
     * returns shares summing to 1 (value conservation —
     * reference: src/attribution/hybrid_engine.py:191-253). */

@@ -1,6 +1,8 @@
 package graft.attribution
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 
 /** Uncertainty quantification for attribution shares
   * (reference: src/attribution/uncertainty_quantification.py:137-501):
@@ -141,6 +143,83 @@ object Uncertainty {
     val kept = reps.flatten.map(_.toMap)
     require(kept.nonEmpty, "all Dirichlet replicates degenerate")
     bandsOf(kept, loQ, hiQ)
+  }
+
+  /** Poisson(1) CDF thresholds scaled to 2^60, floor(CDF_k·2^60) for
+    * k = 0..6 (draws above the last threshold cap at 7) — exact integer
+    * constants, so ANY engine comparing the same 60-bit hash lands on
+    * the identical draw. */
+  val poisson1Cdf60: Seq[(Int, Long)] = Seq(
+    0 -> 424136118829305329L,
+    1 -> 848272237658610659L,
+    2 -> 1060340297073263324L,
+    3 -> 1131029650211480879L,
+    4 -> 1148701988496035267L,
+    5 -> 1152236456152946145L,
+    6 -> 1152825534095764625L)
+
+  /** The Poisson(1) draw for a 60-bit hash column: the first k whose
+    * CDF threshold exceeds h, capped at 7. */
+  private def poissonDraw(h: Column): Column =
+    poisson1Cdf60.foldRight(lit(7L): Column) { case ((k, t), acc) =>
+      when(h < t, lit(k.toLong)).otherwise(acc)
+    }
+
+  /** DETERMINISTIC Poisson bootstrap of the path-based removal effects
+    * (q18's integers) as a distributed DataFrame — the cross-engine-
+    * verifiable twin of [[bootstrapMarkov]] (q50). Replicate r's weight
+    * for converting user u is a Poisson(1) draw read off fixed integer
+    * thresholds ([[poisson1Cdf60]]) against the 60-bit integer
+    * md5(r||'|'||u) — the q48 md5-determinism discipline, so any engine
+    * replays the identical resamples (unlike a seeded JVM RNG). Per
+    * replicate, each channel's removal effect is ONE IEEE division of
+    * exact Long weight sums; the emitted bands are order statistics
+    * (row_number ranks loRank/medRank/hiRank with an (re, r) tie-break),
+    * so the whole output is bit-stable cross-engine. The users×reps
+    * fan-out is distributed (reps broadcast); no driver loop, so the
+    * replicate count scales with the cluster, and the events scan
+    * happens once — the per-replicate work reuses the tiny path table.
+    * Reference: uncertainty_quantification.py:137-260 (bootstrap CIs,
+    * percentile bands); hybrid_engine.py:244-327 (p05/p50/p95). */
+  def bootstrapRemovalDF(
+      events: DataFrame,
+      reps: Int = 64,
+      loRank: Int = 4,
+      medRank: Int = 32,
+      hiRank: Int = 61,
+      convType: String = "purchase"): DataFrame = {
+    require(reps >= 1 && loRank >= 1 && loRank <= medRank && medRank <= hiRank && hiRank <= reps,
+      s"ranks $loRank/$medRank/$hiRank must be ordered within [1, $reps]")
+    val spark = events.sparkSession
+    val users = Attribution.userPaths(events, convType)
+      .where(col("converted"))
+      .select(col("user_id").cast("string").as("uid"), array_distinct(col("path")).as("chs"))
+    val weighted = users
+      .crossJoin(broadcast(spark.range(reps).toDF("r")))
+      .withColumn("h",
+        conv(substring(md5(concat(col("r").cast("string"), lit("|"), col("uid"))), 1, 15), 16, 10)
+          .cast("long"))
+      .withColumn("w", poissonDraw(col("h")))
+    val totals = weighted.groupBy("r").agg(sum("w").as("total_w"))
+    // w = 0 rows still flow through the explode, so every channel that
+    // appears on any converting path has a row in EVERY replicate (the
+    // (r, channel) grid is complete — ranks are well defined)
+    val lost = weighted
+      .select(col("r"), col("w"), explode(col("chs")).as("channel"))
+      .groupBy("r", "channel")
+      .agg(sum("w").as("lost_w"))
+    val re = lost.join(totals, "r")
+      .withColumn("re",
+        when(col("total_w") > 0, col("lost_w").cast("double") / col("total_w").cast("double"))
+          .otherwise(lit(0.0)))
+    val rk = row_number().over(Window.partitionBy("channel").orderBy(col("re"), col("r")))
+    re.withColumn("rk", rk)
+      .groupBy("channel")
+      .agg(
+        count(lit(1)).as("n_reps"),
+        max(when(col("rk") === loRank, col("re"))).as("re_lo"),
+        max(when(col("rk") === medRank, col("re"))).as("re_med"),
+        max(when(col("rk") === hiRank, col("re"))).as("re_hi"))
   }
 
   /** α-sweep: hybrid attribution at α = 0, step, …, 1; per-channel

@@ -166,7 +166,7 @@ object Analytics6 {
     * counting from events (q17's path semantics), channel indexing, and
     * the raw subset-sum table v over all 2^n masks — the SQL twin of
     * Shapley.rawGame. */
-  private val shapleyGameCtes: String =
+  private[queries] val shapleyGameCtes: String =
     """e AS (
            SELECT user_id, event_type,
                   row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn

@@ -1,0 +1,118 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Seventh batch — round-5 closeout: the two attribution operators that
+  * were spec-only get cross-engine oracles via the exact-integer
+  * recasts (the q44/q48 discipline).
+  *
+  * q49: the hybrid Markov×Shapley blend
+  * ([[graft.attribution.Shapley.hybridScaledDF]]) at α = 2/5 — both
+  * arms' normalizers and the blended numerator are exact Longs, so
+  * value conservation (Σ hybrid_num = hybrid_den) holds exactly and
+  * the emitted share is one IEEE division. Reference:
+  * hybrid_engine.py:217-218.
+  *
+  * q50: the deterministic Poisson(1) bootstrap of path-based removal
+  * effects ([[graft.attribution.Uncertainty.bootstrapRemovalDF]]) —
+  * replicate weights are md5-thresholded integer draws (engine-
+  * replayable sampling, the q48 pattern), each replicate's effect one
+  * IEEE division of exact Longs, and the p05/p50/p95 bands are
+  * row_number order statistics. Reference:
+  * uncertainty_quantification.py:137-260, hybrid_engine.py:244-327. */
+object Analytics7 {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    s.read.parquet(s"$dir/$name.parquet")
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q49_shapley_hybrid" -> ((s, dir) =>
+      graft.attribution.Shapley.hybridScaledDF(t(s, dir, "events"), alphaNum = 2L, alphaDen = 5L)),
+    "q50_bootstrap_removal" -> ((s, dir) =>
+      graft.attribution.Uncertainty.bootstrapRemovalDF(t(s, dir, "events"), reps = 64))
+  )
+
+  // Poisson(1) CDF thresholds, floor(CDF_k · 2^60) — the same integer
+  // constants Uncertainty.poisson1Cdf60 compares against
+  private val poissonCase: String =
+    graft.attribution.Uncertainty.poisson1Cdf60
+      .map { case (k, t) => s"WHEN h < $t THEN $k" }
+      .mkString("CASE ", " ", " ELSE 7 END")
+
+  val oracleSql: Map[String, String] = Map(
+    // q44's phi CTE + q18's removal counts (over the same `kept`), then
+    // the integer blend: hybrid_num = 2·m_num·S + 3·phi_num·M over
+    // hybrid_den = 5·M·S, the share one BIGINT→DOUBLE division
+    "q49_shapley_hybrid" ->
+      s"""WITH ${Analytics6.shapleyGameCtes},
+         fact AS (
+           SELECT i, CAST((SELECT coalesce(product(x), 1) FROM unnest(range(1, i + 1)) AS t(x)) AS BIGINT) AS f
+           FROM (SELECT unnest(range(0, (SELECT n FROM nn) + 1)) AS i)),
+         phi AS (
+           SELECT c.ch AS channel,
+             CAST(sum(fs.f * fn.f * (v1.v - v0.v)) AS BIGINT) AS phi_num
+           FROM chans c
+           JOIN masks m ON (m.mask & (1 << c.i)) = 0
+           JOIN vraw v0 ON v0.mask = m.mask
+           JOIN vraw v1 ON v1.mask = (m.mask | (1 << c.i))
+           JOIN fact fs ON fs.i = bit_count(m.mask)
+           JOIN fact fn ON fn.i = (SELECT n FROM nn) - bit_count(m.mask) - 1
+           GROUP BY c.ch),
+         mkv AS (
+           SELECT event_type AS channel, CAST(count(DISTINCT user_id) AS BIGINT) AS m_num
+           FROM kept GROUP BY event_type),
+         md AS (SELECT CAST(sum(m_num) AS BIGINT) AS m_den FROM mkv),
+         sd AS (SELECT CAST(sum(phi_num) AS BIGINT) AS s_den FROM phi)
+         SELECT coalesce(p.channel, m.channel) AS channel,
+           coalesce(m.m_num, 0) AS m_num, md.m_den,
+           coalesce(p.phi_num, 0) AS phi_num, sd.s_den,
+           CAST(2 * coalesce(m.m_num, 0) * sd.s_den
+              + 3 * coalesce(p.phi_num, 0) * md.m_den AS BIGINT) AS hybrid_num,
+           CAST(5 * md.m_den * sd.s_den AS BIGINT) AS hybrid_den,
+           CASE WHEN 5 * md.m_den * sd.s_den > 0
+             THEN CAST(2 * coalesce(m.m_num, 0) * sd.s_den
+                     + 3 * coalesce(p.phi_num, 0) * md.m_den AS DOUBLE)
+                / CAST(5 * md.m_den * sd.s_den AS DOUBLE)
+             ELSE 0.0 END AS hybrid_share
+         FROM phi p FULL OUTER JOIN mkv m USING (channel), md, sd""",
+    // replicate r's weight for user u: Poisson(1) draw from the 60-bit
+    // integer md5(r||'|'||u) against the fixed CDF thresholds; each
+    // band is a row_number order statistic over the 64 replicates
+    "q50_bootstrap_removal" ->
+      s"""WITH e AS (
+           SELECT user_id, event_type,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+           FROM events),
+         fc AS (SELECT user_id, min(rn) AS conv_rn FROM e WHERE event_type = 'purchase' GROUP BY user_id),
+         chan AS (
+           SELECT DISTINCT e.user_id, e.event_type AS channel
+           FROM e JOIN fc ON e.user_id = fc.user_id
+           WHERE e.rn < fc.conv_rn),
+         reps AS (SELECT unnest(range(0, 64)) AS r),
+         hw AS (
+           SELECT r.r, f.user_id,
+             CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM reps r CROSS JOIN fc f),
+         w AS (SELECT r, user_id, $poissonCase AS w FROM hw),
+         tot AS (SELECT r, CAST(sum(w) AS BIGINT) AS total_w FROM w GROUP BY r),
+         lost AS (
+           SELECT w.r, c.channel, CAST(sum(w.w) AS BIGINT) AS lost_w
+           FROM w JOIN chan c ON w.user_id = c.user_id
+           GROUP BY 1, 2),
+         re AS (
+           SELECT l.channel, l.r,
+             CASE WHEN t.total_w > 0
+               THEN CAST(l.lost_w AS DOUBLE) / CAST(t.total_w AS DOUBLE)
+               ELSE 0.0 END AS re
+           FROM lost l JOIN tot t USING (r)),
+         rk AS (
+           SELECT channel, re,
+             row_number() OVER (PARTITION BY channel ORDER BY re, r) AS rk
+           FROM re)
+         SELECT channel, CAST(count(*) AS BIGINT) AS n_reps,
+           max(CASE WHEN rk = 4 THEN re END) AS re_lo,
+           max(CASE WHEN rk = 32 THEN re END) AS re_med,
+           max(CASE WHEN rk = 61 THEN re END) AS re_hi
+         FROM rk GROUP BY channel"""
+  )
+}

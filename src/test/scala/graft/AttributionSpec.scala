@@ -229,6 +229,75 @@ class AttributionSpec extends AnyFunSuite {
     }
   }
 
+  private def hybridFixture = eventsDF(Seq(
+    (1L, "2024-01-01 10:00:00", 1L, "click"),
+    (2L, "2024-01-01 10:01:00", 1L, "view"),
+    (3L, "2024-01-01 10:02:00", 1L, "purchase"),
+    (4L, "2024-01-01 11:00:00", 2L, "purchase"), // empty path, converts
+    (5L, "2024-01-01 12:00:00", 3L, "view"), // never converts
+    (6L, "2024-01-01 13:00:00", 4L, "view"),
+    (7L, "2024-01-01 13:01:00", 4L, "purchase"),
+    (8L, "2024-01-01 14:00:00", 5L, "signup"),
+    (9L, "2024-01-01 14:01:00", 5L, "click"),
+    (10L, "2024-01-01 14:02:00", 5L, "purchase")
+  ))
+
+  test("hybridScaledDF: EXACT conservation, double-path agreement, pure-arm degeneration") {
+    val ev = hybridFixture
+    val rows = Shapley.hybridScaledDF(ev, alphaNum = 2L, alphaDen = 5L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+        r.getLong(5), r.getLong(6), r.getDouble(7))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq == Seq("click", "signup", "view"))
+    // value conservation in the INTEGER domain: Σ hybrid_num == hybrid_den
+    val hden = rows.head._7
+    assert(rows.map(_._6).sum == hden, s"exact conservation: $rows")
+    assert(rows.forall(_._7 == hden), "hybrid_den constant across channels")
+    // each share is m_num/M and phi_num/S blended at α = 2/5 — agree
+    // with the double-domain hybrid() on the same normalized arms
+    val markov = rows.map(r => r._1 -> r._2.toDouble / r._3).toMap
+    val shap = rows.map(r => r._1 -> r._4.toDouble / r._5).toMap
+    val blended = Shapley.hybrid(markov, shap, 0.4)
+    rows.foreach { case (ch, _, _, _, _, _, _, share) =>
+      assert(math.abs(share - blended(ch)) < 1e-12, s"$ch: $share vs ${blended(ch)}")
+    }
+    // α = 1 degenerates to the pure Markov arm, α = 0 to pure Shapley
+    Shapley.hybridScaledDF(ev, alphaNum = 1L, alphaDen = 1L).collect().foreach { r =>
+      assert(math.abs(r.getDouble(7) - markov(r.getString(0))) < 1e-15, "pure markov arm")
+    }
+    Shapley.hybridScaledDF(ev, alphaNum = 0L, alphaDen = 1L).collect().foreach { r =>
+      assert(math.abs(r.getDouble(7) - shap(r.getString(0))) < 1e-15, "pure shapley arm")
+    }
+  }
+
+  test("bootstrapRemovalDF: deterministic, ordered bands, complete replicate grid") {
+    val ev = hybridFixture
+    val out = Uncertainty.bootstrapRemovalDF(ev, reps = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("click", "signup", "view"))
+    out.foreach { case (ch, n, lo, med, hi) =>
+      assert(n == 64L, s"$ch: complete (r, channel) grid")
+      assert(lo <= med && med <= hi, s"$ch: bands ordered ($lo, $med, $hi)")
+      assert(lo >= 0.0 && hi <= 1.0, s"$ch: removal effects are shares")
+    }
+    // bit-stable across invocations (the cross-engine q50 contract)
+    val again = Uncertainty.bootstrapRemovalDF(ev, reps = 64).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.toSeq == again.toSeq, "determinism")
+    // the median band brackets the unweighted point estimate loosely
+    // (4 converters ⇒ wide bands; the invariant is bracketing, not width)
+    val point = Attribution.removalEffectsPathBased(ev).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    out.foreach { case (ch, _, lo, _, hi) =>
+      assert(lo <= point(ch) + 0.3 && hi >= point(ch) - 0.3, s"$ch: point ${point(ch)} vs [$lo,$hi]")
+    }
+    // degenerate single replicate: all three ranks read the same row
+    val one = Uncertainty.bootstrapRemovalDF(ev, reps = 1, loRank = 1, medRank = 1, hiRank = 1)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    one.foreach { case (lo, med, hi) => assert(lo == med && med == hi) }
+  }
+
   test("bootstrap skips singular replicates instead of failing the job") {
     // a chain with a rarely-exited transient loop: replicates that zero
     // the C->CONV/NULL outflow make (I - Q) singular
