@@ -91,6 +91,60 @@ object Attribution {
       .withColumn("out_total", sum(col("n")).over(Window.partitionBy("src")))
       .withColumn("p", col("n").cast("double") / col("out_total").cast("double"))
 
+  /** Horizon-bounded absorption probabilities — the cross-engine-
+    * verifiable twin of the fundamental-matrix method (q51).
+    * absorb_h(i) = P(absorbed in CONV within `horizon` steps | at i),
+    * computed by the fixed-point recursion x_{t+1} = pc + Q·x_t from
+    * x_0 = 0 — the truncated Neumann series Σ_{t<h} Q^t·pc whose limit
+    * is [[conversionProbability]]'s (I−Q)^{-1}·pc. The horizon is part
+    * of the operator's SEMANTICS ("converts within h touches"), which
+    * is what makes it oracle-able: Gaussian elimination has a
+    * data-dependent pivot order no independent engine replays, but a
+    * fixed iteration with ORDER-FIXED fp folds (ascending-channel
+    * accumulation seeded at pc, the q35 Lloyd discipline) is
+    * bit-reproducible — every q entry is one IEEE division of the
+    * distributed transition Longs, every step the same fold. The
+    * distributed half is [[transitionProbabilities]] (one events scan);
+    * the k×k iteration is driver-local over ≤ ~15 channels, the same
+    * bounded-reduction split as the reference (markov_engine.py:236-264).
+    * Output: (channel, horizon, absorb_h, p_start, contrib) with
+    * contrib = p_start·absorb_h (one multiply). */
+  def absorptionHorizonDF(events: DataFrame, horizon: Int = 48, convType: String = "purchase"): DataFrame = {
+    require(horizon >= 1, "horizon >= 1")
+    val spark = events.sparkSession
+    import spark.implicits._
+    val tp = transitionProbabilities(events, convType)
+      .select("src", "dst", "p").as[(String, String, Double)].collect()
+    val channels = tp.flatMap(r => Seq(r._1, r._2))
+      .filter(s => s != Start && s != Conv && s != Null).distinct.sorted.toVector
+    val idx = channels.zipWithIndex.toMap
+    val k = channels.size
+    val q = Array.ofDim[Double](k, k)
+    val pc = new Array[Double](k)
+    val ps = new Array[Double](k)
+    tp.foreach {
+      case (s, d, p) if idx.contains(s) && idx.contains(d) => q(idx(s))(idx(d)) = p
+      case (s, Conv, p) if idx.contains(s) => pc(idx(s)) = p
+      case (Start, d, p) if idx.contains(d) => ps(idx(d)) = p
+      case _ => () // START→CONV/NULL, channel→NULL: not part of Q/pc/ps
+    }
+    var x = Array.fill(k)(0.0)
+    for (_ <- 1 to horizon) {
+      val nx = Array.tabulate(k) { i =>
+        // fold seeded at pc(i), then ascending j; q=0 terms add +0.0,
+        // so a sparse replay visiting only stored transitions in the
+        // same order lands on the identical partial sums
+        var s = pc(i)
+        var j = 0
+        while (j < k) { s += q(i)(j) * x(j); j += 1 }
+        s
+      }
+      x = nx
+    }
+    channels.zipWithIndex.map { case (ch, i) => (ch, horizon, x(i), ps(i), ps(i) * x(i)) }
+      .toDF("channel", "horizon", "absorb_h", "p_start", "contrib")
+  }
+
   /** Path-based removal effects, fully distributed and SQL-expressible
     * (the absorption-based variant below is the matrix analog):
     * removal_effect(c) = P(conv lost if channel c removed)

@@ -29,7 +29,9 @@ object Analytics7 {
     "q49_shapley_hybrid" -> ((s, dir) =>
       graft.attribution.Shapley.hybridScaledDF(t(s, dir, "events"), alphaNum = 2L, alphaDen = 5L)),
     "q50_bootstrap_removal" -> ((s, dir) =>
-      graft.attribution.Uncertainty.bootstrapRemovalDF(t(s, dir, "events"), reps = 64))
+      graft.attribution.Uncertainty.bootstrapRemovalDF(t(s, dir, "events"), reps = 64)),
+    "q51_absorption_horizon" -> ((s, dir) =>
+      graft.attribution.Attribution.absorptionHorizonDF(t(s, dir, "events"), horizon = 48))
   )
 
   // Poisson(1) CDF thresholds, floor(CDF_k · 2^60) — the same integer
@@ -39,7 +41,49 @@ object Analytics7 {
       .map { case (k, t) => s"WHEN h < $t THEN $k" }
       .mkString("CASE ", " ", " ELSE 7 END")
 
+  /** The q51 oracle: DuckDB replays the horizon-h absorption recursion
+    * as a RECURSIVE CTE over the iteration counter (48 unrolled CTEs
+    * hit the binder's depth-128 limit; the recursive working table —
+    * exactly the previous step's x vector — doesn't). Each step's fold
+    * is list_reduce over list_prepend(pc, list(q·x ORDER BY dst)) —
+    * seeded at pc then ascending channel order, the exact association
+    * of the Scala loop (sparse vs dense is immaterial: absent
+    * transitions add +0.0). */
+  private def absorptionSql(horizon: Int): String =
+    s"""WITH RECURSIVE tp AS (${Analytics6.oracleSql("q46_transition_probs")}),
+         chans AS (
+           -- DISTINCT over UNION ALL in a subquery: under WITH RECURSIVE
+           -- DuckDB gives a bare two-branch UNION fixpoint semantics and
+           -- emits duplicates
+           SELECT DISTINCT ch FROM (
+             SELECT src AS ch FROM tp WHERE src NOT IN ('START','CONV','NULL')
+             UNION ALL
+             SELECT dst FROM tp WHERE dst NOT IN ('START','CONV','NULL'))),
+         qm AS (SELECT src, dst, p FROM tp
+                WHERE src IN (SELECT ch FROM chans) AND dst IN (SELECT ch FROM chans)),
+         pconv AS (SELECT src, p FROM tp WHERE dst = 'CONV' AND src IN (SELECT ch FROM chans)),
+         pstart AS (SELECT dst AS ch, p FROM tp WHERE src = 'START' AND dst IN (SELECT ch FROM chans)),
+         it AS (
+           SELECT 0 AS t, ch, CAST(0.0 AS DOUBLE) AS x FROM chans
+           UNION ALL
+           SELECT i.t + 1, c.ch,
+             list_reduce(list_prepend(
+               coalesce((SELECT p FROM pconv pcv WHERE pcv.src = c.ch), 0.0),
+               coalesce((SELECT list(q.p * xp.x ORDER BY q.dst)
+                         FROM qm q JOIN it xp ON xp.ch = q.dst AND xp.t = i.t
+                         WHERE q.src = c.ch), CAST([] AS DOUBLE[]))),
+               (a, b) -> a + b) AS x
+           FROM chans c, (SELECT DISTINCT t FROM it) i
+           WHERE i.t < $horizon)
+         SELECT c.ch AS channel, CAST($horizon AS INTEGER) AS horizon,
+           xT.x AS absorb_h, coalesce(ps.p, 0.0) AS p_start,
+           coalesce(ps.p, 0.0) * xT.x AS contrib
+         FROM chans c
+         JOIN it xT ON xT.ch = c.ch AND xT.t = $horizon
+         LEFT JOIN pstart ps ON ps.ch = c.ch"""
+
   val oracleSql: Map[String, String] = Map(
+    "q51_absorption_horizon" -> absorptionSql(48),
     // q44's phi CTE + q18's removal counts (over the same `kept`), then
     // the integer blend: hybrid_num = 2·m_num·S + 3·phi_num·M over
     // hybrid_den = 5·M·S, the share one BIGINT→DOUBLE division

@@ -298,6 +298,40 @@ class AttributionSpec extends AnyFunSuite {
     one.foreach { case (lo, med, hi) => assert(lo == med && med == hi) }
   }
 
+  test("absorptionHorizonDF: converges to the fundamental-matrix solve, monotone in horizon") {
+    val ev = hybridFixture
+    val out = Attribution.absorptionHorizonDF(ev, horizon = 48).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+      .sortBy(_._1)
+    assert(out.map(_._1).toSeq == Seq("click", "signup", "view"))
+    // the truncated Neumann series converges on the Gaussian-elimination
+    // absorption probabilities (every user here converts quickly, so 48
+    // steps is deep convergence)
+    import spark.implicits._
+    val counts = Attribution.transitionCounts(ev).as[(String, String, Long)].collect().toSeq
+    val chain = Attribution.chainFromCounts(counts)
+    val exact = Attribution.solve(
+      Array.tabulate(chain.channels.size, chain.channels.size)((i, j) =>
+        (if (i == j) 1.0 else 0.0) - chain.p(i)(j)),
+      chain.pConv.clone())
+    out.foreach { case (ch, h, x, ps, contrib) =>
+      assert(h == 48)
+      val i = chain.channels.indexOf(ch)
+      assert(math.abs(x - exact(i)) < 1e-9, s"$ch: horizon-48 $x vs solve ${exact(i)}")
+      assert(math.abs(ps - chain.pStart(i)) < 1e-15)
+      assert(contrib == ps * x)
+      assert(x >= 0.0 && x <= 1.0 + 1e-12)
+    }
+    // monotone in horizon (more steps can only add absorption mass)
+    val h8 = Attribution.absorptionHorizonDF(ev, horizon = 8).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    out.foreach { case (ch, _, x48, _, _) => assert(h8(ch) <= x48 + 1e-15, s"$ch monotone") }
+    // bit-stable across invocations (the cross-engine q51 contract)
+    val again = Attribution.absorptionHorizonDF(ev, horizon = 48).collect()
+      .map(r => (r.getString(0), r.getDouble(2))).sortBy(_._1)
+    assert(out.map(t => (t._1, t._3)).toSeq == again.toSeq)
+  }
+
   test("bootstrap skips singular replicates instead of failing the job") {
     // a chain with a rarely-exited transient loop: replicates that zero
     // the C->CONV/NULL outflow make (I - Q) singular
