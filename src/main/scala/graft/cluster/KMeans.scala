@@ -345,4 +345,56 @@ object KMeans {
       cents
     )
   }
+
+  /** Exact per-point silhouette as a DISTRIBUTED, cross-engine-
+    * verifiable DataFrame — the oracle twin of [[silhouette]] (q52),
+    * the k-selection criterion's arithmetic made engine-replayable.
+    * Same recipe as [[lloydDeterministic]]: every fp reduction is an
+    * ORDER-FIXED fold — the squared distance folds dimensions in pos
+    * order, each per-(point, cluster) distance sum folds neighbors in
+    * item_id order (sqrt is correctly-rounded IEEE, so identical
+    * cross-engine), a and b are ONE division each, min/greatest and
+    * the final (b−a)/max(a,b) are order-free — so a DuckDB replay
+    * lands bit-identical. Edge semantics mirror [[silhouette]]:
+    * singleton own cluster → 0, no other non-empty cluster → 0,
+    * max(a,b) = 0 → 0. The pairwise self-join is O(n²) BY DEFINITION
+    * of exact silhouette — the production path caps it
+    * ([[silhouetteCapped]] stride sample); this surface is for
+    * verification and per-account-sized groups.
+    * Input: vecs (item_id, features), assign (item_id, cluster).
+    * Output: (item_id, cluster, n_own, a_mean, b_mean, sil). */
+  def silhouetteDF(vecs: DataFrame, assign: DataFrame): DataFrame = {
+    val pa = vecs.join(assign, "item_id")
+    val lhs = pa.select(col("item_id").as("id_i"), col("features").as("v_i"), col("cluster").as("c_i"))
+    val rhs = pa.select(col("item_id").as("id_j"), col("features").as("v_j"), col("cluster").as("c_j"))
+    val pairs = lhs.join(rhs, col("id_i") =!= col("id_j"))
+      .withColumn("d",
+        sqrt(aggregate(
+          zip_with(col("v_i"), col("v_j"), (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, v) => acc + v)))
+    val per = pairs.groupBy("id_i", "c_i", "c_j")
+      .agg(
+        aggregate(
+          sort_array(collect_list(struct(col("id_j"), col("d")))),
+          lit(0.0), (acc, s) => acc + s.getField("d")).as("dsum"),
+        count(lit(1)).as("cnt"))
+    val own = per.where(col("c_j") === col("c_i"))
+      .select(col("id_i"), (col("dsum") / col("cnt").cast("double")).as("a_mean"), col("cnt").as("n_own"))
+    val oth = per.where(col("c_j") =!= col("c_i"))
+      .groupBy("id_i")
+      .agg(min(col("dsum") / col("cnt").cast("double")).as("b_mean"))
+    pa.select(col("item_id"), col("cluster"))
+      .join(own.withColumnRenamed("id_i", "item_id"), Seq("item_id"), "left")
+      .join(oth.withColumnRenamed("id_i", "item_id"), Seq("item_id"), "left")
+      .select(
+        col("item_id"), col("cluster"),
+        coalesce(col("n_own"), lit(0L)).as("n_own"),
+        coalesce(col("a_mean"), lit(0.0)).as("a_mean"),
+        coalesce(col("b_mean"), lit(0.0)).as("b_mean"),
+        when(
+          col("a_mean").isNull || col("b_mean").isNull ||
+            greatest(col("a_mean"), col("b_mean")) === 0.0, lit(0.0))
+          .otherwise((col("b_mean") - col("a_mean")) / greatest(col("a_mean"), col("b_mean")))
+          .as("sil"))
+  }
 }

@@ -31,7 +31,21 @@ object Analytics7 {
     "q50_bootstrap_removal" -> ((s, dir) =>
       graft.attribution.Uncertainty.bootstrapRemovalDF(t(s, dir, "events"), reps = 64)),
     "q51_absorption_horizon" -> ((s, dir) =>
-      graft.attribution.Attribution.absorptionHorizonDF(t(s, dir, "events"), horizon = 48))
+      graft.attribution.Attribution.absorptionHorizonDF(t(s, dir, "events"), horizon = 48)),
+    // exact per-point silhouette of the q41-style deterministic-Lloyd
+    // partition of the embeddings — the k-selection criterion's
+    // arithmetic cross-engine (sqrt is correctly-rounded IEEE; every
+    // mean folds neighbors in item_id order)
+    "q52_silhouette_det" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, transform}
+      val pts = t(s, dir, "embeddings").select(
+        lit(0L).as("group_id"),
+        col("vec_id").as("item_id"),
+        transform(col("embedding"), _.cast("double")).as("features"))
+      val assign = graft.cluster.KMeans.lloydDeterministic(pts, k = 8, iters = 2)
+        .select("item_id", "cluster")
+      graft.cluster.KMeans.silhouetteDF(pts.select("item_id", "features"), assign)
+    })
   )
 
   // Poisson(1) CDF thresholds, floor(CDF_k · 2^60) — the same integer
@@ -84,6 +98,45 @@ object Analytics7 {
 
   val oracleSql: Map[String, String] = Map(
     "q51_absorption_horizon" -> absorptionSql(48),
+    // the q41 Lloyd chain supplies the partition (a2); the silhouette
+    // layer replays the same order-fixed folds: dimension-order squared
+    // distance, item_id-order neighbor sums, one division per mean
+    "q52_silhouette_det" -> {
+      val chain = LloydSql.chain(k = 8, iters = 2, dim = 64)
+      s"""WITH pts AS (
+           SELECT CAST(0 AS BIGINT) AS group_id, vec_id AS item_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+           FROM embeddings),
+         $chain,
+         pa AS (
+           SELECT p.item_id, p.v, a.cluster
+           FROM a2 a JOIN pts p USING (group_id, item_id)),
+         pairs AS (
+           SELECT i.item_id AS id_i, i.cluster AS c_i, j.item_id AS id_j, j.cluster AS c_j,
+             sqrt(list_reduce(list_transform(list_zip(i.v, j.v), z -> (z[1] - z[2]) * (z[1] - z[2])), (a, b) -> a + b)) AS d
+           FROM pa i JOIN pa j ON i.item_id <> j.item_id),
+         per AS (
+           SELECT id_i, c_i, c_j,
+             list_reduce(list(d ORDER BY id_j), (a, b) -> a + b) AS dsum,
+             count(*) AS cnt
+           FROM pairs GROUP BY 1, 2, 3),
+         own AS (
+           SELECT id_i, dsum / CAST(cnt AS DOUBLE) AS a_mean, CAST(cnt AS BIGINT) AS n_own
+           FROM per WHERE c_j = c_i),
+         oth AS (
+           SELECT id_i, min(dsum / CAST(cnt AS DOUBLE)) AS b_mean
+           FROM per WHERE c_j <> c_i GROUP BY id_i)
+         SELECT p.item_id, p.cluster,
+           coalesce(o.n_own, 0) AS n_own,
+           coalesce(o.a_mean, 0.0) AS a_mean,
+           coalesce(t.b_mean, 0.0) AS b_mean,
+           CASE WHEN o.id_i IS NULL OR t.id_i IS NULL
+                  OR greatest(o.a_mean, t.b_mean) = 0.0 THEN 0.0
+                ELSE (t.b_mean - o.a_mean) / greatest(o.a_mean, t.b_mean) END AS sil
+         FROM pa p
+         LEFT JOIN own o ON o.id_i = p.item_id
+         LEFT JOIN oth t ON t.id_i = p.item_id"""
+    },
     // q44's phi CTE + q18's removal counts (over the same `kept`), then
     // the integer blend: hybrid_num = 2·m_num·S + 3·phi_num·M over
     // hybrid_den = 5·M·S, the share one BIGINT→DOUBLE division

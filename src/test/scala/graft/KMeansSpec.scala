@@ -159,6 +159,49 @@ class KMeansSpec extends AnyFunSuite {
     assert(math.abs(st.confidenceRadius(0) - expected) < 1e-9)
   }
 
+  test("silhouetteDF: distributed exact silhouette matches the local loop per point") {
+    import spark.implicits._
+    // ids == array indices so the local j-order accumulation and the
+    // distributed item_id-order folds visit neighbors identically
+    val pts = (blob(0, 0, 25, 7) ++ blob(10, 10, 25, 8)).toArray
+    val (_, assign) = KMeans.lloyd(pts, 2, 100, 42L)
+    val vecs = pts.zipWithIndex.map { case (p, i) => (i.toLong, p.toSeq) }.toSeq
+      .toDF("item_id", "features")
+    val asg = assign.zipWithIndex.map { case (c, i) => (i.toLong, c.toLong) }.toSeq
+      .toDF("item_id", "cluster")
+    val out = KMeans.silhouetteDF(vecs, asg).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+      .toMap
+    assert(out.size == 50)
+    // per-point agreement with the local formula
+    val n = pts.length
+    (0 until n).foreach { i =>
+      val by = Array.fill(2)(0.0); val cnt = Array.fill(2)(0)
+      for (j <- 0 until n if j != i) { by(assign(j)) += math.sqrt(KMeans.sqDist(pts(i), pts(j))); cnt(assign(j)) += 1 }
+      val own = assign(i)
+      val a = by(own) / cnt(own)
+      val b = by(1 - own) / cnt(1 - own)
+      val s = (b - a) / math.max(a, b)
+      val (nOwn, aD, bD, sD) = out(i.toLong)
+      assert(nOwn == cnt(own).toLong)
+      assert(math.abs(aD - a) < 1e-12 && math.abs(bD - b) < 1e-12, s"point $i a/b")
+      assert(math.abs(sD - s) < 1e-12, s"point $i sil")
+    }
+    // the mean agrees with the k-selection criterion's value
+    val meanDist = out.values.map(_._4).sum / n
+    val meanLocal = KMeans.silhouette(pts, assign, 2)
+    assert(math.abs(meanDist - meanLocal) < 1e-12)
+    // well-separated blobs: strongly positive everywhere
+    assert(out.values.forall(_._4 > 0.8))
+    // edge: a singleton cluster scores 0 (matches the local guard)
+    val one = KMeans.silhouetteDF(
+      Seq((0L, Seq(0.0, 0.0)), (1L, Seq(1.0, 1.0)), (2L, Seq(1.1, 1.0))).toDF("item_id", "features"),
+      Seq((0L, 0L), (1L, 1L), (2L, 1L)).toDF("item_id", "cluster")).collect()
+      .map(r => r.getLong(0) -> r.getDouble(5)).toMap
+    assert(one(0L) == 0.0, "singleton own cluster -> 0")
+    assert(one(1L) > 0 && one(2L) > 0)
+  }
+
   test("silhouette guard: oversized group estimates on a stride sample, same model choice") {
     // 6,000 points in two blobs — exact silhouette would be 36M distance
     // pairs per k; the guard caps it at sample² = 4M total
