@@ -221,9 +221,14 @@ object Shapley {
     * are exact Longs (domain guarded loudly, the q44 discipline), so
     * value conservation Σ_c hybrid_num = hybrid_den holds EXACTLY —
     * not within 1e-9 — and the emitted share is ONE IEEE division, so
-    * the cross-engine hash can't drift on fp fold order. Both arms'
-    * distributed halves (path extraction, coalition counts) each scan
-    * events once; at 100 TB you'd checkpoint userPaths and feed both.
+    * the cross-engine hash can't drift on fp fold order. Both arms are
+    * BOUNDED driver reductions (≤ MaxChannels rows each) over their
+    * distributed halves (path window, coalition counts), collected
+    * exactly once — the blend runs on one consistent snapshot and the
+    * overflow guard covers the very integers that are emitted (a lazy
+    * formulation would recompute the Markov subtree per
+    * materialization and could outgrow an already-passed guard). At
+    * 100 TB checkpoint userPaths once and feed both arms.
     * Reference: hybrid_engine.py:217-218 (α·markov + (1−α)·shapley),
     * hybrid_engine.py:191-253 (conservation). */
   def hybridScaledDF(
@@ -233,31 +238,33 @@ object Shapley {
       convType: String = "purchase"): DataFrame = {
     require(alphaDen > 0 && alphaNum >= 0 && alphaNum <= alphaDen,
       s"alpha = $alphaNum/$alphaDen outside [0,1]")
-    val phi = exactScaledDF(events, convType).select(col("channel"), col("phi_num"))
+    val spark = events.sparkSession
+    import spark.implicits._
+    val phi = exactScaledDF(events, convType)
+      .select(col("channel"), col("phi_num")).as[(String, Long)].collect().toMap
     val m = Attribution.removalEffectsPathBased(events, convType)
-      .select(col("channel"), col("n_conv_with").as("m_num"))
+      .select(col("channel"), col("n_conv_with")).as[(String, Long)].collect().toMap
     // channel vocabularies coincide (both are the distinct channels on
-    // converting paths) — full outer + fill(0) keeps the contract
-    // honest if one arm ever drops a channel
-    val joined = m.join(phi, Seq("channel"), "full_outer")
-      .na.fill(0L, Seq("m_num", "phi_num"))
-    val dens = joined.agg(sum("m_num").as("m_den"), sum("phi_num").as("s_den"))
-    locally { // Long-domain guard (phi_num, m_num ≥ 0: the game is monotone)
-      val r = dens.head()
-      val mDen = if (r.isNullAt(0)) 0L else r.getLong(0)
-      val sDen = if (r.isNullAt(1)) 0L else r.getLong(1)
-      require(mDen == 0L || sDen == 0L || Long.MaxValue / mDen / sDen >= alphaDen,
-        s"hybridScaledDF Long domain exceeded: $alphaDen*$mDen*$sDen overflows Long — " +
-          "pre-aggregate conversions or reduce the channel set")
+    // converting paths) — the union keeps the contract honest if one
+    // arm ever drops a channel
+    val channels = (phi.keySet ++ m.keySet).toSeq.sorted
+    val mDen = m.values.sum
+    val sDen = phi.values.sum
+    // Long-domain guard (phi_num, m_num ≥ 0: the game is monotone, so
+    // every blend term is bounded by alphaDen·M·S)
+    require(mDen == 0L || sDen == 0L || Long.MaxValue / mDen / sDen >= alphaDen,
+      s"hybridScaledDF Long domain exceeded: $alphaDen*$mDen*$sDen overflows Long — " +
+        "pre-aggregate conversions or reduce the channel set")
+    val hden = alphaDen * mDen * sDen
+    val rows = channels.map { ch =>
+      val mn = m.getOrElse(ch, 0L)
+      val pn = phi.getOrElse(ch, 0L)
+      val hn = alphaNum * mn * sDen + (alphaDen - alphaNum) * pn * mDen
+      (ch, mn, mDen, pn, sDen, hn, hden,
+        if (hden > 0) hn.toDouble / hden.toDouble else 0.0)
     }
-    val hnum = lit(alphaNum) * col("m_num") * col("s_den") +
-      lit(alphaDen - alphaNum) * col("phi_num") * col("m_den")
-    val hden = lit(alphaDen) * col("m_den") * col("s_den")
-    joined.crossJoin(dens).select(
-      col("channel"), col("m_num"), col("m_den"), col("phi_num"), col("s_den"),
-      hnum.as("hybrid_num"), hden.as("hybrid_den"),
-      when(hden > 0, hnum.cast("double") / hden.cast("double"))
-        .otherwise(lit(0.0)).as("hybrid_share"))
+    rows.toDF("channel", "m_num", "m_den", "phi_num", "s_den",
+      "hybrid_num", "hybrid_den", "hybrid_share")
   }
 
   /** Hybrid blend H_i = α·markov_i + (1−α)·shapley_i, renormalized;

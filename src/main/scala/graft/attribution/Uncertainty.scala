@@ -177,8 +177,10 @@ object Uncertainty {
     * (row_number ranks loRank/medRank/hiRank with an (re, r) tie-break),
     * so the whole output is bit-stable cross-engine. The users×reps
     * fan-out is distributed (reps broadcast); no driver loop, so the
-    * replicate count scales with the cluster, and the events scan
-    * happens once — the per-replicate work reuses the tiny path table.
+    * replicate count scales with the cluster. NOTE the two aggregates
+    * (totals, lost) each recompute the path window from events in this
+    * lazy formulation — at scale, checkpoint userPaths (or persist the
+    * weighted frame) so the scan happens once (see PLANS.md q50).
     * Reference: uncertainty_quantification.py:137-260 (bootstrap CIs,
     * percentile bands); hybrid_engine.py:244-327 (p05/p50/p95). */
   def bootstrapRemovalDF(

@@ -198,6 +198,13 @@ object Analytics6 {
            FROM masks m LEFT JOIN coalmask cm ON (m.mask & cm.mask) = cm.mask
            GROUP BY m.mask)"""
 
+  /** Factorial CTE 0..n (n from the game prelude's `nn`) — shared by
+    * the q44 exact-Shapley oracle and q49's Shapley arm. */
+  private[queries] val factCte: String =
+    """fact AS (
+           SELECT i, CAST((SELECT coalesce(product(x), 1) FROM unnest(range(1, i + 1)) AS t(x)) AS BIGINT) AS f
+           FROM (SELECT unnest(range(0, (SELECT n FROM nn) + 1)) AS i))"""
+
   val oracleSql: Map[String, String] = Map(
     "q40_persona_attribution" ->
       """WITH rn AS (
@@ -305,9 +312,7 @@ object Analytics6 {
          WHERE CAST(i.inter AS DOUBLE) / CAST(ca.ng + cb.ng - i.inter AS DOUBLE) >= 0.35""",
     "q44_shapley_exact" ->
       s"""WITH $shapleyGameCtes,
-         fact AS (
-           SELECT i, CAST((SELECT coalesce(product(x), 1) FROM unnest(range(1, i + 1)) AS t(x)) AS BIGINT) AS f
-           FROM (SELECT unnest(range(0, (SELECT n FROM nn) + 1)) AS i))
+         $factCte
          SELECT c.ch AS channel,
            (SELECT CAST(n AS BIGINT) FROM nn) AS n_channels,
            (SELECT total FROM tot) AS total_conv,

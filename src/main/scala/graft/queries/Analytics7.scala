@@ -142,9 +142,7 @@ object Analytics7 {
     // hybrid_den = 5·M·S, the share one BIGINT→DOUBLE division
     "q49_shapley_hybrid" ->
       s"""WITH ${Analytics6.shapleyGameCtes},
-         fact AS (
-           SELECT i, CAST((SELECT coalesce(product(x), 1) FROM unnest(range(1, i + 1)) AS t(x)) AS BIGINT) AS f
-           FROM (SELECT unnest(range(0, (SELECT n FROM nn) + 1)) AS i)),
+         ${Analytics6.factCte},
          phi AS (
            SELECT c.ch AS channel,
              CAST(sum(fs.f * fn.f * (v1.v - v0.v)) AS BIGINT) AS phi_num
@@ -176,22 +174,18 @@ object Analytics7 {
     // integer md5(r||'|'||u) against the fixed CDF thresholds; each
     // band is a row_number order statistic over the 64 replicates
     "q50_bootstrap_removal" ->
-      s"""WITH e AS (
-           SELECT user_id, event_type,
-             row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
-           FROM events),
-         fc AS (SELECT user_id, min(rn) AS conv_rn FROM e WHERE event_type = 'purchase' GROUP BY user_id),
-         chan AS (
-           SELECT DISTINCT e.user_id, e.event_type AS channel
-           FROM e JOIN fc ON e.user_id = fc.user_id
-           WHERE e.rn < fc.conv_rn),
+      // the e/fc/kept prelude is the SHARED shapleyGameCtes (one copy
+      // of the path semantics repo-wide; DuckDB prunes the unused game
+      // CTEs); chan = the distinct channels each converter touched
+      s"""WITH ${Analytics6.shapleyGameCtes},
+         chan AS (SELECT DISTINCT user_id, event_type AS channel FROM kept),
          reps AS (SELECT unnest(range(0, 64)) AS r),
          hw AS (
            SELECT r.r, f.user_id,
              CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
            FROM reps r CROSS JOIN fc f),
          w AS (SELECT r, user_id, $poissonCase AS w FROM hw),
-         tot AS (SELECT r, CAST(sum(w) AS BIGINT) AS total_w FROM w GROUP BY r),
+         rtot AS (SELECT r, CAST(sum(w) AS BIGINT) AS total_w FROM w GROUP BY r),
          lost AS (
            SELECT w.r, c.channel, CAST(sum(w.w) AS BIGINT) AS lost_w
            FROM w JOIN chan c ON w.user_id = c.user_id
@@ -201,7 +195,7 @@ object Analytics7 {
              CASE WHEN t.total_w > 0
                THEN CAST(l.lost_w AS DOUBLE) / CAST(t.total_w AS DOUBLE)
                ELSE 0.0 END AS re
-           FROM lost l JOIN tot t USING (r)),
+           FROM lost l JOIN rtot t USING (r)),
          rk AS (
            SELECT channel, re,
              row_number() OVER (PARTITION BY channel ORDER BY re, r) AS rk
