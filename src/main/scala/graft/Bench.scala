@@ -263,7 +263,14 @@ object Bench {
         // distinct executor JVMs observed (1 for local[*]; the executor
         // count under spark-submit on a real master)
         s""""master":"${spark.sparkContext.master}",""" +
-        s""""executors":${spark.sparkContext.statusTracker.getExecutorInfos.length - 1}"""
+        s""""executors":${spark.sparkContext.statusTracker.getExecutorInfos.length - 1},""" +
+        // per-JVM dict-view builds (local mode: executor == this JVM, so
+        // these are the run's real numbers; under spark-submit the same
+        // counters print in each executor's stderr). buildCount > number
+        // of broadcasts would mean redundant concurrent builds — the
+        // race JwDict.arr's lock now prevents.
+        s""""dict_builds":${graft.functions.JwDict.buildCount},""" +
+        s""""dict_build_s":${math.round(graft.functions.JwDict.buildNanos / 1e6) / 1e3}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},"stage_shuffle_w_gb":${phaseJson(phaseShufW, 1e9)},"stage_shuffle_r_gb":${phaseJson(phaseShufR, 1e9)},"io_codec":"${sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")}","parquet_codec":"${sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")}",$env}"""
     // belt-and-braces: the JSON also lands in a file (round 1's line was

@@ -39,7 +39,7 @@ object FusedSpanKernel {
     * `jwStrong`/`levStrong` the strong-agreement thresholds. Span
     * indexes are < 64 by textRep's slice cap, so the masks are exact. */
   def score(
-      bc: Broadcast[Array[Array[Byte]]],
+      bc: Broadcast[PackedDict],
       a: ArrayData,
       b: ArrayData,
       cutoff: Double,
@@ -93,7 +93,7 @@ case class FusedSpanScore(
     cutoff: Double,
     jwStrong: Double,
     levStrong: Double,
-    bc: Broadcast[Array[Array[Byte]]]
+    bc: Broadcast[PackedDict]
 ) extends BinaryExpression {
 
   override def prettyName: String = "fused_span_score"
@@ -130,7 +130,7 @@ object FusedSpanScore {
       cutoff: Double,
       jwStrong: Double,
       levStrong: Double,
-      bc: Broadcast[Array[Array[Byte]]]
+      bc: Broadcast[PackedDict]
   ): Column =
     GraftShim.column(FusedSpanScore(
       GraftShim.expression(a), GraftShim.expression(b), cutoff, jwStrong, levStrong, bc))

@@ -283,12 +283,34 @@ object Scoring {
       )
       .select(col("doc_id"), transform(col("ps"), s => s.getField("tid")).as("tids"))
 
-  /** Collect + broadcast the dictionary as tid-indexed UTF-8 bytes. */
-  def broadcastDict(dict: DataFrame): org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]] = {
+  /** Collect + broadcast the dictionary as a tid-indexed flat UTF-8
+    * blob ([[graft.functions.PackedDict]]: one byte array + one offset
+    * table). Two primitive arrays deserialize per executor instead of
+    * millions of per-entry byte arrays — per-executor fixed cost and
+    * GC-scan load drop with executor count held constant. */
+  def broadcastDict(dict: DataFrame): org.apache.spark.broadcast.Broadcast[graft.functions.PackedDict] = {
     val rows = dict.select(col("tid"), col("t")).collect()
-    val arr = new Array[Array[Byte]](rows.length)
-    rows.foreach(r => arr(r.getInt(0)) = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    dict.sparkSession.sparkContext.broadcast(arr)
+    val n = rows.length
+    val bytes = new Array[Array[Byte]](n)
+    var total = 0L
+    rows.foreach { r =>
+      val b = r.getString(1).getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      bytes(r.getInt(0)) = b
+      total += b.length
+    }
+    require(total <= Int.MaxValue, s"span-text dictionary blob $total B exceeds a single array; raise dictMaxBytes gating")
+    val flat = new Array[Byte](total.toInt)
+    val offs = new Array[Int](n + 1)
+    var i = 0
+    var off = 0
+    while (i < n) {
+      val b = bytes(i)
+      System.arraycopy(b, 0, flat, off, b.length)
+      off += b.length
+      offs(i + 1) = off
+      i += 1
+    }
+    dict.sparkSession.sparkContext.broadcast(new graft.functions.PackedDict(flat, offs))
   }
 
   /** Dict-kernel scoring path (round-4 default): the exploded span-pair
@@ -304,7 +326,7 @@ object Scoring {
       txtIds: DataFrame,
       med: DataFrame,
       w: Weights,
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]]
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.PackedDict]
   ): DataFrame = {
     val pairs = candidates.select("doc_a", "doc_b")
     val paired = pairs
@@ -347,7 +369,7 @@ object Scoring {
       txtIds: DataFrame,
       med: DataFrame,
       w: Weights,
-      bc: org.apache.spark.broadcast.Broadcast[Array[Array[Byte]]],
+      bc: org.apache.spark.broadcast.Broadcast[graft.functions.PackedDict],
       // broadcast the per-doc rep frames into the pair stream: stage S
       // then has NO shuffle exchange at all (pairs stream off the
       // candidate checkpoint through map-side hash joins). A cluster-

@@ -41,7 +41,7 @@ object ScoreAB {
           val dict = Scoring.textDictDense(txt).localCheckpoint(true)
           val ids = Scoring.textIdsRep(txt, dict).localCheckpoint(true)
           val bc = Scoring.broadcastDict(dict)
-          println(f"  dict build: ${(System.nanoTime() - t0) / 1e9}%.1f s, texts=${bc.value.length}")
+          println(f"  dict build: ${(System.nanoTime() - t0) / 1e9}%.1f s, texts=${bc.value.size}")
           if (p == "fused") Scoring.scoreWithRepsFused(cand, ids, med, Scoring.Weights(), bc)
           else Scoring.scoreWithRepsDict(cand, ids, med, Scoring.Weights(), bc)
       }
