@@ -163,6 +163,63 @@ object SnapshotTable {
     v
   }
 
+  /** Expire snapshots, keeping the newest `keepLast` — Iceberg's
+    * `expire_snapshots` maintenance procedure. Metadata first: drop the
+    * expired manifests; then delete every data dir no RETAINED manifest
+    * references. Reference counting matters because rollback snapshots
+    * share their target's dataDir — expiring the original must not
+    * delete files a live rollback snapshot still reads. Time travel to
+    * retained versions is untouched; `readAsOf` of an expired version
+    * fails loudly (its manifest is gone). Returns
+    * (expired versions, deleted data dirs). */
+  def expireSnapshots(root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
+    require(keepLast >= 1, "keepLast must be >= 1 (a table always retains its tip)")
+    val vs = versions(root)
+    val expired = vs.dropRight(keepLast)
+    if (expired.isEmpty) return (Nil, Nil)
+    val retained = vs.takeRight(keepLast)
+    val live = retained.map(v => manifest(root, v)("dataDir")).toSet
+    val dead = expired.map(v => manifest(root, v)("dataDir")).distinct.filterNot(live)
+    // manifests first: a reader that races this sees either a complete
+    // snapshot (manifest + data) or no snapshot — never a manifest
+    // whose data files are already gone
+    expired.foreach(v => Files.deleteIfExists(manifestDir(root).resolve(s"v$v.json")))
+    dead.foreach(d => deleteRecursively(Paths.get(root, d)))
+    (expired, dead)
+  }
+
+  /** Delete data dirs no manifest references — Iceberg's
+    * `remove_orphan_files`. Orphans are the documented residue of a
+    * crashed or racing writer (data committed, manifest link lost) and
+    * of [[expireSnapshots]] interrupted between manifest and data
+    * deletion. Returns the deleted dirs. */
+  def removeOrphanFiles(root: String): Seq[String] = {
+    val dataRoot = Paths.get(root, "data")
+    if (!Files.exists(dataRoot)) return Nil
+    val live = versions(root).map(v => manifest(root, v)("dataDir")).toSet
+    val stream = Files.list(dataRoot)
+    val dirs =
+      try {
+        val it = stream.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(p => s"data/${p.getFileName}").toSeq
+      } finally stream.close()
+    val orphans = dirs.filterNot(live)
+    orphans.foreach(d => deleteRecursively(Paths.get(root, d)))
+    orphans
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit = {
+    if (Files.isDirectory(p)) {
+      val stream = Files.list(p)
+      try {
+        val it = stream.iterator()
+        while (it.hasNext) deleteRecursively(it.next())
+      } finally stream.close()
+    }
+    Files.deleteIfExists(p)
+  }
+
   /** The snapshot log as a DataFrame (version, parent, dataDir, spec, note). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._

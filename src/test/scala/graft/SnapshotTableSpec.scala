@@ -93,6 +93,41 @@ class SnapshotTableSpec extends AnyFunSuite {
     assert(SnapshotTable.readAsOf(spark, root, 1).columns.toSeq == Seq("id", "s", "score"))
   }
 
+  test("expireSnapshots keeps time travel to retained versions and refcounts shared data dirs") {
+    import spark.implicits._
+    val root = dir()
+    SnapshotTable.write(Seq((1, "a")).toDF("id", "s"), root, "v0")       // v0
+    SnapshotTable.write(Seq((1, "b")).toDF("id", "s"), root, "v1")       // v1
+    SnapshotTable.rollback(root, 0)                                      // v2 -> shares v0's dataDir
+    SnapshotTable.write(Seq((1, "c")).toDF("id", "s"), root, "v3")       // v3
+
+    // keep v2,v3: v0's manifest expires but its DATA must survive —
+    // the retained rollback snapshot v2 still reads those files
+    val (expired, deleted) = SnapshotTable.expireSnapshots(root, keepLast = 2)
+    assert(expired == Seq(0, 1))
+    assert(deleted.length == 1, s"only v1's unshared dir should go: $deleted")
+    assert(SnapshotTable.versions(root) == Seq(2, 3))
+    assert(SnapshotTable.readAsOf(spark, root, 2).select("s").as[String].collect().toSeq == Seq("a"),
+      "rollback snapshot lost its shared files")
+    assert(SnapshotTable.read(spark, root).select("s").as[String].collect().toSeq == Seq("c"))
+    intercept[IllegalArgumentException](SnapshotTable.readAsOf(spark, root, 0))
+    // idempotent + tip always retained
+    assert(SnapshotTable.expireSnapshots(root, keepLast = 2) == ((Nil, Nil)))
+    intercept[IllegalArgumentException](SnapshotTable.expireSnapshots(root, keepLast = 0))
+  }
+
+  test("removeOrphanFiles deletes only unreferenced data dirs") {
+    import spark.implicits._
+    val root = dir()
+    SnapshotTable.write(Seq(1).toDF("id"), root, "live")
+    // a crashed writer's residue: data committed, manifest never linked
+    Seq(2).toDF("id").write.parquet(s"$root/data/v9-deadbeef")
+    val gone = SnapshotTable.removeOrphanFiles(root)
+    assert(gone == Seq("data/v9-deadbeef"))
+    assert(SnapshotTable.read(spark, root).count() == 1, "orphan cleanup touched live data")
+    assert(SnapshotTable.removeOrphanFiles(root).isEmpty)
+  }
+
   test("concurrent commit of the same version fails loudly; crashed writer leaves no snapshot") {
     import spark.implicits._
     val root = dir()
