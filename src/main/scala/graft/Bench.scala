@@ -101,6 +101,33 @@ object Bench {
       }
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
+    // our own process tree's user/kernel CPU, from /proc: executor JVMs
+    // (CoarseGrainedExecutorBackend — empty in local mode) and this
+    // driver. Settles host_sys_cpu attribution: a multi-JVM run whose
+    // executors' own stime ≈ the box-wide sys delta is SELF-loaded
+    // (netty shuffle + page-fault kernel time, a real topology cost),
+    // not a degraded window.
+    def pidCpu(pid: String): (Long, Long) = {
+      val st = java.nio.file.Files.readString(java.nio.file.Paths.get(s"/proc/$pid/stat"))
+      val f = st.substring(st.lastIndexOf(')') + 2).split(" ")
+      (f(11).toLong, f(12).toLong)
+    }
+    def execCpu(): (Double, Double) = {
+      var u = 0L; var s = 0L
+      val procs = new java.io.File("/proc").listFiles()
+      if (procs != null) procs.foreach { p =>
+        val name = p.getName
+        if (name.nonEmpty && name.forall(_.isDigit)) {
+          try {
+            val cmd = java.nio.file.Files.readString(java.nio.file.Paths.get(s"/proc/$name/cmdline"))
+            if (cmd.contains("CoarseGrainedExecutorBackend")) {
+              val (pu, ps) = pidCpu(name); u += pu; s += ps
+            }
+          } catch { case _: Throwable => }
+        }
+      }
+      (u / 100.0, s / 100.0)
+    }
     val hostBusy0 = scala.util.Try(procStatBusy()).getOrElse(-1.0)
     val selfCpu0 = procSelfCpu()
     val load0 = loadAvg()
@@ -130,6 +157,11 @@ object Bench {
     val (loadSteal0, loadSys0) =
       scala.util.Try(graft.util.LoadProbe.stealUnderLoad()).getOrElse((-1.0, -1.0))
     val stat0 = scala.util.Try(procStatParts()).getOrElse(Array.empty[Long])
+    // self-CPU snapshots aligned with stat0 so foreign_sys below
+    // subtracts apples from apples (the probes above burn driver CPU
+    // that stat0's window likewise excludes)
+    val drvCpu0 = scala.util.Try(pidCpu("self")).getOrElse((0L, 0L))
+    val execCpu0 = scala.util.Try(execCpu()).getOrElse((0.0, 0.0))
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String)(body: => Unit): Double = {
@@ -209,6 +241,12 @@ object Bench {
     // modest host_user_cpu_s is the kernel/IO degradation mode
     // (ab_r5: 70-97% system time box-wide while task CPU looked busy)
     val stat1 = scala.util.Try(procStatParts()).getOrElse(Array.empty[Long])
+    // end snapshots aligned with stat1 (executors sampled BEFORE
+    // spark.stop() so their cumulative counters are still live)
+    val drvCpu1 = scala.util.Try(pidCpu("self")).getOrElse(drvCpu0)
+    val execCpu1 = scala.util.Try(execCpu()).getOrElse(execCpu0)
+    val execSys = execCpu1._2 - execCpu0._2
+    val drvSys = (drvCpu1._2 - drvCpu0._2) / 100.0
     def statDelta(idx: Int*): Double =
       if (stat0.length > idx.max && stat1.length > idx.max)
         idx.map(i => stat1(i) - stat0(i)).sum / 100.0
@@ -229,9 +267,16 @@ object Bench {
     //  - storage mode: either synced-write probe < 60 MB/s (healthy
     //    160-310, degraded floor 21).
     val hp = graft.util.HostProbe
+    // FOREIGN kernel time = box sys minus our own executors' and
+    // driver's sys. A multi-executor run legitimately generates kernel
+    // time of its own (netty shuffle, page faults — the 4×2 pairs
+    // measured 110-190 core-s of self sys), and flagging that as a
+    // degraded window mislabeled every 4-executor artifact; foreign
+    // sys is what a noisy neighbour actually contributes.
+    val foreignSys = statDelta(2, 5, 6) - execSys - drvSys
     val windowReasons = Seq(
       (stat0.length > 7 && stat1.length > 7 &&
-        statDelta(2, 5, 6) > hp.SysCpuMaxFracOfTask * (cpuNs.get / 1e9)) -> "host_sys_cpu",
+        foreignSys > hp.SysCpuMaxFracOfTask * (cpuNs.get / 1e9)) -> "host_sys_cpu",
       (stat0.length > 7 && stat1.length > 7 &&
         statDelta(7) > hp.StealRunMaxCoreS) -> "host_steal",
       (math.min(memBw0, memBw1) > 0 &&
@@ -270,7 +315,14 @@ object Bench {
         // of broadcasts would mean redundant concurrent builds — the
         // race JwDict.arr's lock now prevents.
         s""""dict_builds":${graft.functions.JwDict.buildCount},""" +
-        s""""dict_build_s":${math.round(graft.functions.JwDict.buildNanos / 1e6) / 1e3}"""
+        s""""dict_build_s":${math.round(graft.functions.JwDict.buildNanos / 1e6) / 1e3},""" +
+        // self-attribution of kernel time (snapshots aligned with the
+        // host stat window; foreign_sys is what the classifier flags)
+        s""""exec_user_cpu_s":${math.round((execCpu1._1 - execCpu0._1) * 10) / 10.0},""" +
+        s""""exec_sys_cpu_s":${math.round(execSys * 10) / 10.0},""" +
+        s""""drv_user_cpu_s":${(drvCpu1._1 - drvCpu0._1) / 100.0},""" +
+        s""""drv_sys_cpu_s":$drvSys,""" +
+        s""""foreign_sys_cpu_s":${math.round(foreignSys * 10) / 10.0}"""
     val json =
       s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","fixture_scale":"$scale","fixture_docs":$nDocs,"candidate_pairs":${nPairs.toLong},"cpus":$cpus,"task_cpu_s":${cpuNs.get / 1e9},"task_gc_s":${gcMs.get / 1e3},"task_run_s":${runMs.get / 1e3},"stage_cpu_s":${phaseJson(phaseCpu, 1e9)},"stage_gc_s":${phaseJson(phaseGc, 1e3)},"stage_shuffle_w_gb":${phaseJson(phaseShufW, 1e9)},"stage_shuffle_r_gb":${phaseJson(phaseShufR, 1e9)},"io_codec":"${sys.env.getOrElse("SPARK_GRAFT_IO_CODEC", "lz4")}","parquet_codec":"${sys.env.getOrElse("SPARK_GRAFT_PARQUET_CODEC", "snappy")}",$env}"""
     // belt-and-braces: the JSON also lands in a file (round 1's line was
