@@ -163,21 +163,73 @@ object SnapshotTable {
     v
   }
 
+  private def refsDir(root: String) = Paths.get(root, "_refs")
+
+  /** Named refs (tags): name → pinned version. */
+  def tags(root: String): Map[String, Int] = {
+    val d = refsDir(root)
+    if (!Files.exists(d)) Map.empty
+    else {
+      val stream = Files.list(d)
+      try {
+        val it = stream.iterator()
+        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
+          .map(_.getFileName.toString)
+          .collect { case s if s.endsWith(".json") => s.stripSuffix(".json") }
+          .map(n => n -> Files.readString(refsDir(root).resolve(s"$n.json")).trim.toInt)
+          .toMap
+      } finally stream.close()
+    }
+  }
+
+  /** Pin `version` under an immutable named ref — Iceberg's snapshot
+    * TAG. Same atomic create-or-fail discipline as a manifest commit:
+    * a tag can be created once and never re-pointed (drop + re-create
+    * is the explicit escape hatch). Tagged snapshots survive
+    * [[expireSnapshots]] regardless of age. */
+  def tag(root: String, name: String, version: Int): Unit = {
+    require(versions(root).contains(version), s"$root has no snapshot v$version to tag")
+    require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '-' || c == '_'),
+      s"tag name must be [A-Za-z0-9_-]+: '$name'")
+    Files.createDirectories(refsDir(root))
+    val tmp = refsDir(root).resolve(s".$name.tmp${System.nanoTime()}")
+    Files.writeString(tmp, version.toString)
+    try Files.createLink(refsDir(root).resolve(s"$name.json"), tmp)
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists on $root (tags are immutable — dropTag first)")
+    } finally Files.deleteIfExists(tmp)
+  }
+
+  def dropTag(root: String, name: String): Unit =
+    Files.deleteIfExists(refsDir(root).resolve(s"$name.json"))
+
+  /** Time travel by name: read the snapshot a tag pins. */
+  def readTag(spark: SparkSession, root: String, name: String): DataFrame = {
+    val t = tags(root)
+    require(t.contains(name), s"$root has no tag '$name' (tags: ${t.keys.toSeq.sorted.mkString(",")})")
+    readAsOf(spark, root, t(name))
+  }
+
   /** Expire snapshots, keeping the newest `keepLast` — Iceberg's
     * `expire_snapshots` maintenance procedure. Metadata first: drop the
     * expired manifests; then delete every data dir no RETAINED manifest
     * references. Reference counting matters because rollback snapshots
     * share their target's dataDir — expiring the original must not
-    * delete files a live rollback snapshot still reads. Time travel to
-    * retained versions is untouched; `readAsOf` of an expired version
-    * fails loudly (its manifest is gone). Returns
+    * delete files a live rollback snapshot still reads. Snapshots
+    * pinned by a [[tag]] are retained whatever their age (Iceberg:
+    * expire never removes ref'd snapshots). Time travel to retained
+    * versions is untouched; `readAsOf` of an expired version fails
+    * loudly (its manifest is gone). Returns
     * (expired versions, deleted data dirs). */
   def expireSnapshots(root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "keepLast must be >= 1 (a table always retains its tip)")
     val vs = versions(root)
-    val expired = vs.dropRight(keepLast)
+    val pinned = tags(root).values.toSet
+    val expired = vs.dropRight(keepLast).filterNot(pinned)
     if (expired.isEmpty) return (Nil, Nil)
-    val retained = vs.takeRight(keepLast)
+    val retained = vs.filterNot(expired.contains)
     val live = retained.map(v => manifest(root, v)("dataDir")).toSet
     val dead = expired.map(v => manifest(root, v)("dataDir")).distinct.filterNot(live)
     // manifests first: a reader that races this sees either a complete
@@ -218,6 +270,23 @@ object SnapshotTable {
       } finally stream.close()
     }
     Files.deleteIfExists(p)
+  }
+
+  /** Small-file compaction — Iceberg's `rewrite_data_files`: rewrite
+    * the CURRENT snapshot's rows into `targetFiles` output tasks (per
+    * partition-spec directory when the table is partitioned) and commit
+    * the rewrite as a new snapshot. Rows and schema are identical by
+    * construction; history stays intact, so time travel to the
+    * un-compacted version still works until it is expired. The common
+    * producer of the small files this sweeps is a high-frequency
+    * streaming/delta writer (StreamResolve's per-batch appends are the
+    * in-repo analog). Returns the new version. */
+  def compact(spark: SparkSession, root: String, targetFiles: Int = 1): Int = {
+    require(targetFiles >= 1, "targetFiles must be >= 1")
+    val df = read(spark, root)
+    // coalesce, not repartition: compaction must not pay a shuffle —
+    // it only narrows the task count of the rewrite scan
+    write(df.coalesce(targetFiles), root, note = "compact")
   }
 
   /** The snapshot log as a DataFrame (version, parent, dataDir, spec, note). */

@@ -116,6 +116,54 @@ class SnapshotTableSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](SnapshotTable.expireSnapshots(root, keepLast = 0))
   }
 
+  test("tags pin snapshots by name, survive expiry, and are immutable") {
+    import spark.implicits._
+    val root = dir()
+    SnapshotTable.write(Seq((1, "a")).toDF("id", "s"), root, "v0")
+    SnapshotTable.write(Seq((1, "b")).toDF("id", "s"), root, "v1")
+    SnapshotTable.write(Seq((1, "c")).toDF("id", "s"), root, "v2")
+    SnapshotTable.tag(root, "audited-2026q3", 0)
+
+    assert(SnapshotTable.readTag(spark, root, "audited-2026q3")
+      .select("s").as[String].collect().toSeq == Seq("a"))
+    intercept[IllegalStateException](SnapshotTable.tag(root, "audited-2026q3", 1))
+    intercept[IllegalArgumentException](SnapshotTable.tag(root, "ghost", 99))
+
+    // keepLast=1 would expire v0 and v1 — the tag pins v0 (manifest AND
+    // data), only v1 goes
+    val (expired, _) = SnapshotTable.expireSnapshots(root, keepLast = 1)
+    assert(expired == Seq(1))
+    assert(SnapshotTable.versions(root) == Seq(0, 2))
+    assert(SnapshotTable.readTag(spark, root, "audited-2026q3").count() == 1)
+
+    // dropped tag releases the pin on the next expiry
+    SnapshotTable.dropTag(root, "audited-2026q3")
+    assert(SnapshotTable.expireSnapshots(root, keepLast = 1)._1 == Seq(0))
+    assert(SnapshotTable.versions(root) == Seq(2))
+  }
+
+  test("compact rewrites the tip into fewer files with identical rows, as a new snapshot") {
+    import spark.implicits._
+    val root = dir()
+    // a streaming writer's residue: 8 tasks -> 8 small files
+    SnapshotTable.write(
+      spark.range(100).repartition(8).select(col("id"), (col("id") % 7).as("k")), root, "frag")
+    val before = new java.io.File(s"$root/data").listFiles().head
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(before == 8, s"fixture should fragment into 8 files, got $before")
+
+    val v = SnapshotTable.compact(spark, root, targetFiles = 1)
+    assert(v == 1)
+    val dirByV = SnapshotTable.history(spark, root)
+      .select("version", "data_dir").as[(Int, String)].collect().toMap
+    val after = new java.io.File(s"$root/${dirByV(1)}")
+      .listFiles().count(_.getName.endsWith(".parquet"))
+    assert(after == 1, s"compaction left $after files")
+    // identical rows + schema; the un-compacted snapshot is still readable
+    assert(SnapshotTable.read(spark, root).orderBy("id").collect().toSeq ==
+      SnapshotTable.readAsOf(spark, root, 0).orderBy("id").collect().toSeq)
+  }
+
   test("removeOrphanFiles deletes only unreferenced data dirs") {
     import spark.implicits._
     val root = dir()
