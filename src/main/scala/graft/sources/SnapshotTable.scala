@@ -272,6 +272,20 @@ object SnapshotTable {
     Files.deleteIfExists(p)
   }
 
+  /** Copy-on-write row-level delete — Iceberg's `DELETE FROM` in COW
+    * mode: rewrite the tip WITHOUT the matching rows and commit it as a
+    * new snapshot. Deleted rows remain time-travelable in history until
+    * [[expireSnapshots]] retires their snapshots; the erasure becomes
+    * PHYSICAL only after expiry + [[removeOrphanFiles]] — exactly the
+    * deletion pipeline a GDPR cascade runs on an Iceberg table
+    * (SURVEY §7.4's parity note; reference analog: the privacy
+    * module's user-scoped purge). Returns the new version. */
+  def deleteWhere(spark: SparkSession, root: String,
+      condition: org.apache.spark.sql.Column): Int = {
+    val df = read(spark, root)
+    write(df.where(!condition), root, note = s"delete where $condition")
+  }
+
   /** Small-file compaction — Iceberg's `rewrite_data_files`: rewrite
     * the CURRENT snapshot's rows into `targetFiles` output tasks (per
     * partition-spec directory when the table is partitioned) and commit

@@ -164,6 +164,30 @@ class SnapshotTableSpec extends AnyFunSuite {
       SnapshotTable.readAsOf(spark, root, 0).orderBy("id").collect().toSeq)
   }
 
+  test("deleteWhere + expire + orphan sweep is the physical-erasure pipeline") {
+    import spark.implicits._
+    val root = dir()
+    SnapshotTable.write(Seq(("u1", "keep"), ("u2", "erase-me"), ("u3", "keep"))
+      .toDF("user", "payload"), root, "v0")
+
+    // copy-on-write delete: tip loses the rows, history still has them
+    val v1 = SnapshotTable.deleteWhere(spark, root, col("user") === "u2")
+    assert(v1 == 1)
+    assert(SnapshotTable.read(spark, root).where(col("user") === "u2").count() == 0)
+    assert(SnapshotTable.read(spark, root).count() == 2)
+    assert(SnapshotTable.readAsOf(spark, root, 0).where(col("user") === "u2").count() == 1,
+      "history must keep the row until expiry")
+
+    // expiry + orphan sweep make the erasure physical: no parquet file
+    // under the table still contains the erased value
+    SnapshotTable.expireSnapshots(root, keepLast = 1)
+    SnapshotTable.removeOrphanFiles(root)
+    val remaining = spark.read.parquet(s"$root/data/*")
+    assert(remaining.where(col("user") === "u2").count() == 0,
+      "erased rows survived physically after expiry")
+    assert(remaining.count() == 2)
+  }
+
   test("removeOrphanFiles deletes only unreferenced data dirs") {
     import spark.implicits._
     val root = dir()
