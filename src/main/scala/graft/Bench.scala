@@ -101,30 +101,43 @@ object Bench {
       }
     def loadAvg(): Double =
       java.lang.management.ManagementFactory.getOperatingSystemMXBean.getSystemLoadAverage
-    // our own process tree's user/kernel CPU, from /proc: executor JVMs
-    // (CoarseGrainedExecutorBackend — empty in local mode) and this
-    // driver. Settles host_sys_cpu attribution: a multi-JVM run whose
-    // executors' own stime ≈ the box-wide sys delta is SELF-loaded
-    // (netty shuffle + page-fault kernel time, a real topology cost),
-    // not a degraded window.
+    // OUR OWN JVMs' user/kernel CPU, from /proc: this app's executor
+    // JVMs (cmdline carries CoarseGrainedExecutorBackend AND our
+    // --app-id — another session's executors must stay FOREIGN, else a
+    // genuinely contended window reads clean) and this driver. Settles
+    // host_sys_cpu attribution: a multi-JVM run whose executors' own
+    // stime ≈ the box-wide sys delta is SELF-loaded (netty shuffle +
+    // page-fault kernel time, a real topology cost), not degraded.
     def pidCpu(pid: String): (Long, Long) = {
       val st = java.nio.file.Files.readString(java.nio.file.Paths.get(s"/proc/$pid/stat"))
       val f = st.substring(st.lastIndexOf(')') + 2).split(" ")
       (f(11).toLong, f(12).toLong)
     }
-    def execCpu(): (Double, Double) = {
-      var u = 0L; var s = 0L
+    val appId = spark.sparkContext.applicationId
+    def execCpu(): Map[String, (Long, Long)] = {
+      val out = Map.newBuilder[String, (Long, Long)]
       val procs = new java.io.File("/proc").listFiles()
       if (procs != null) procs.foreach { p =>
         val name = p.getName
         if (name.nonEmpty && name.forall(_.isDigit)) {
           try {
             val cmd = java.nio.file.Files.readString(java.nio.file.Paths.get(s"/proc/$name/cmdline"))
-            if (cmd.contains("CoarseGrainedExecutorBackend")) {
-              val (pu, ps) = pidCpu(name); u += pu; s += ps
-            }
+            if (cmd.contains("CoarseGrainedExecutorBackend") && cmd.contains(appId))
+              out += name -> pidCpu(name)
           } catch { case _: Throwable => }
         }
+      }
+      out.result()
+    }
+    // per-PID delta: an executor spawned inside the window counts from 0
+    // (its absolute ticks ARE in-window); one that dies mid-window loses
+    // its share, which UNDERcounts self and OVERcounts foreign — the
+    // conservative direction (flags the window, never launders it)
+    def execDelta(a: Map[String, (Long, Long)], b: Map[String, (Long, Long)]): (Double, Double) = {
+      var u = 0L; var s = 0L
+      b.foreach { case (pid, (u1, s1)) =>
+        val (u0, s0) = a.getOrElse(pid, (0L, 0L))
+        u += math.max(0L, u1 - u0); s += math.max(0L, s1 - s0)
       }
       (u / 100.0, s / 100.0)
     }
@@ -161,7 +174,7 @@ object Bench {
     // subtracts apples from apples (the probes above burn driver CPU
     // that stat0's window likewise excludes)
     val drvCpu0 = scala.util.Try(pidCpu("self")).getOrElse((0L, 0L))
-    val execCpu0 = scala.util.Try(execCpu()).getOrElse((0.0, 0.0))
+    val execCpu0 = scala.util.Try(execCpu()).getOrElse(Map.empty[String, (Long, Long)])
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     def timed(name: String)(body: => Unit): Double = {
@@ -245,7 +258,7 @@ object Bench {
     // spark.stop() so their cumulative counters are still live)
     val drvCpu1 = scala.util.Try(pidCpu("self")).getOrElse(drvCpu0)
     val execCpu1 = scala.util.Try(execCpu()).getOrElse(execCpu0)
-    val execSys = execCpu1._2 - execCpu0._2
+    val (execUser, execSys) = execDelta(execCpu0, execCpu1)
     val drvSys = (drvCpu1._2 - drvCpu0._2) / 100.0
     def statDelta(idx: Int*): Double =
       if (stat0.length > idx.max && stat1.length > idx.max)
@@ -273,7 +286,11 @@ object Bench {
     // measured 110-190 core-s of self sys), and flagging that as a
     // degraded window mislabeled every 4-executor artifact; foreign
     // sys is what a noisy neighbour actually contributes.
-    val foreignSys = statDelta(2, 5, 6) - execSys - drvSys
+    // -1.0 (sentinel) when /proc/stat was unavailable — never emit the
+    // sentinel arithmetic as a plausible-looking measurement
+    val foreignSys =
+      if (stat0.length > 7 && stat1.length > 7) statDelta(2, 5, 6) - execSys - drvSys
+      else -1.0
     val windowReasons = Seq(
       (stat0.length > 7 && stat1.length > 7 &&
         foreignSys > hp.SysCpuMaxFracOfTask * (cpuNs.get / 1e9)) -> "host_sys_cpu",
@@ -318,7 +335,7 @@ object Bench {
         s""""dict_build_s":${math.round(graft.functions.JwDict.buildNanos / 1e6) / 1e3},""" +
         // self-attribution of kernel time (snapshots aligned with the
         // host stat window; foreign_sys is what the classifier flags)
-        s""""exec_user_cpu_s":${math.round((execCpu1._1 - execCpu0._1) * 10) / 10.0},""" +
+        s""""exec_user_cpu_s":${math.round(execUser * 10) / 10.0},""" +
         s""""exec_sys_cpu_s":${math.round(execSys * 10) / 10.0},""" +
         s""""drv_user_cpu_s":${(drvCpu1._1 - drvCpu0._1) / 100.0},""" +
         s""""drv_sys_cpu_s":$drvSys,""" +

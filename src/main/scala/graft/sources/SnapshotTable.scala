@@ -33,26 +33,28 @@ object SnapshotTable {
 
   private def manifestDir(root: String) = Paths.get(root, "_manifests")
 
-  /** Committed versions, ascending. */
-  def versions(root: String): Seq[Int] = {
-    val d = manifestDir(root)
-    if (!Files.exists(d)) Seq.empty
+  /** Child names of `dir` (empty if absent). Files.list must be closed
+    * (javadoc: try-with-resources) — every directory listing in this
+    * object funnels through here, so a leak would be one dangling
+    * directory fd per table operation. */
+  private def listNames(dir: java.nio.file.Path): Seq[String] = {
+    if (!Files.exists(dir)) Seq.empty
     else {
-      // Files.list must be closed (javadoc: try-with-resources) — every
-      // public entry point funnels through here, so a leak here is one
-      // dangling directory fd per table operation
-      val stream = Files.list(d)
+      val stream = Files.list(dir)
       try {
         val it = stream.iterator()
         Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-          .map(_.getFileName.toString)
-          .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
-            s.stripPrefix("v").stripSuffix(".json").toInt
-          }
-          .toSeq.sorted
+          .map(_.getFileName.toString).toSeq
       } finally stream.close()
     }
   }
+
+  /** Committed versions, ascending. */
+  def versions(root: String): Seq[Int] =
+    listNames(manifestDir(root))
+      .collect { case s if s.startsWith("v") && s.endsWith(".json") =>
+        s.stripPrefix("v").stripSuffix(".json").toInt
+      }.sorted
 
   private def manifest(root: String, v: Int): Map[String, String] = {
     val txt = Files.readString(manifestDir(root).resolve(s"v$v.json")).trim
@@ -165,22 +167,16 @@ object SnapshotTable {
 
   private def refsDir(root: String) = Paths.get(root, "_refs")
 
-  /** Named refs (tags): name → pinned version. */
-  def tags(root: String): Map[String, Int] = {
-    val d = refsDir(root)
-    if (!Files.exists(d)) Map.empty
-    else {
-      val stream = Files.list(d)
-      try {
-        val it = stream.iterator()
-        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-          .map(_.getFileName.toString)
-          .collect { case s if s.endsWith(".json") => s.stripSuffix(".json") }
-          .map(n => n -> Files.readString(refsDir(root).resolve(s"$n.json")).trim.toInt)
-          .toMap
-      } finally stream.close()
-    }
-  }
+  /** Named refs (tags): name → pinned version. A ref dropped between
+    * the listing and the read (concurrent [[dropTag]]) is skipped, not
+    * an error. */
+  def tags(root: String): Map[String, Int] =
+    listNames(refsDir(root))
+      .collect { case s if s.endsWith(".json") => s.stripSuffix(".json") }
+      .flatMap { n =>
+        scala.util.Try(Files.readString(refsDir(root).resolve(s"$n.json")).trim.toInt)
+          .toOption.map(n -> _)
+      }.toMap
 
   /** Pin `version` under an immutable named ref — Iceberg's snapshot
     * TAG. Same atomic create-or-fail discipline as a manifest commit:
@@ -221,7 +217,12 @@ object SnapshotTable {
     * pinned by a [[tag]] are retained whatever their age (Iceberg:
     * expire never removes ref'd snapshots). Time travel to retained
     * versions is untouched; `readAsOf` of an expired version fails
-    * loudly (its manifest is gone). Returns
+    * loudly (its manifest is gone). NOT safe to run concurrently with
+    * commits: a rollback committed after the live set is computed could
+    * reference a dir this call is deleting — real Iceberg serializes
+    * maintenance against commits through the catalog; this miniature
+    * has no catalog, so the caller owns that exclusion (the pipeline
+    * runs maintenance from the single writer). Returns
     * (expired versions, deleted data dirs). */
   def expireSnapshots(root: String, keepLast: Int): (Seq[Int], Seq[String]) = {
     require(keepLast >= 1, "keepLast must be >= 1 (a table always retains its tip)")
@@ -244,19 +245,24 @@ object SnapshotTable {
     * `remove_orphan_files`. Orphans are the documented residue of a
     * crashed or racing writer (data committed, manifest link lost) and
     * of [[expireSnapshots]] interrupted between manifest and data
-    * deletion. Returns the deleted dirs. */
-  def removeOrphanFiles(root: String): Seq[String] = {
-    val dataRoot = Paths.get(root, "data")
-    if (!Files.exists(dataRoot)) return Nil
+    * deletion. `olderThanMillis` spares young unreferenced dirs: an
+    * IN-FLIGHT writer's dir is also unreferenced until its manifest
+    * links, and sweeping it mid-write would fail the writer or, worse,
+    * let it commit a manifest over half-deleted files — the reason
+    * Iceberg's procedure defaults to `older_than = 3 days`. Age is the
+    * dir's last-modified time (bumped by every file the writer lands).
+    * Returns the deleted dirs. */
+  def removeOrphanFiles(root: String,
+      olderThanMillis: Long = 24L * 3600 * 1000): Seq[String] = {
     val live = versions(root).map(v => manifest(root, v)("dataDir")).toSet
-    val stream = Files.list(dataRoot)
-    val dirs =
-      try {
-        val it = stream.iterator()
-        Iterator.continually(it).takeWhile(_.hasNext).map(_.next())
-          .map(p => s"data/${p.getFileName}").toSeq
-      } finally stream.close()
-    val orphans = dirs.filterNot(live)
+    val cutoff = System.currentTimeMillis() - olderThanMillis
+    val orphans = listNames(Paths.get(root, "data"))
+      .map(n => s"data/$n")
+      .filterNot(live)
+      .filter { d =>
+        scala.util.Try(Files.getLastModifiedTime(Paths.get(root, d)).toMillis)
+          .toOption.exists(_ <= cutoff)
+      }
     orphans.foreach(d => deleteRecursively(Paths.get(root, d)))
     orphans
   }
@@ -282,8 +288,14 @@ object SnapshotTable {
     * module's user-scoped purge). Returns the new version. */
   def deleteWhere(spark: SparkSession, root: String,
       condition: org.apache.spark.sql.Column): Int = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
     val df = read(spark, root)
-    write(df.where(!condition), root, note = s"delete where $condition")
+    // SQL DELETE semantics: remove rows where the predicate is TRUE.
+    // A bare where(!condition) would ALSO drop NULL-valued predicates
+    // (three-valued logic: !NULL is NULL, and where() drops NULL) —
+    // silently erasing rows the user never matched.
+    write(df.where(not(coalesce(condition, lit(false)))), root,
+      note = s"delete where $condition")
   }
 
   /** Small-file compaction — Iceberg's `rewrite_data_files`: rewrite

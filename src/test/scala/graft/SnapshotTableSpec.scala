@@ -167,14 +167,18 @@ class SnapshotTableSpec extends AnyFunSuite {
   test("deleteWhere + expire + orphan sweep is the physical-erasure pipeline") {
     import spark.implicits._
     val root = dir()
-    SnapshotTable.write(Seq(("u1", "keep"), ("u2", "erase-me"), ("u3", "keep"))
-      .toDF("user", "payload"), root, "v0")
+    SnapshotTable.write(
+      Seq(("u1", "keep"), ("u2", "erase-me"), ("u3", "keep"), (null, "keep-null"))
+        .toDF("user", "payload"), root, "v0")
 
-    // copy-on-write delete: tip loses the rows, history still has them
+    // copy-on-write delete: tip loses the MATCHING rows only — SQL
+    // DELETE removes rows where the predicate is TRUE, so the
+    // NULL-user row (predicate evaluates to NULL) must survive
     val v1 = SnapshotTable.deleteWhere(spark, root, col("user") === "u2")
     assert(v1 == 1)
     assert(SnapshotTable.read(spark, root).where(col("user") === "u2").count() == 0)
-    assert(SnapshotTable.read(spark, root).count() == 2)
+    assert(SnapshotTable.read(spark, root).count() == 3,
+      "a NULL-valued predicate row was silently deleted")
     assert(SnapshotTable.readAsOf(spark, root, 0).where(col("user") === "u2").count() == 1,
       "history must keep the row until expiry")
 
@@ -185,19 +189,29 @@ class SnapshotTableSpec extends AnyFunSuite {
     val remaining = spark.read.parquet(s"$root/data/*")
     assert(remaining.where(col("user") === "u2").count() == 0,
       "erased rows survived physically after expiry")
-    assert(remaining.count() == 2)
+    assert(remaining.count() == 3)
   }
 
-  test("removeOrphanFiles deletes only unreferenced data dirs") {
+  test("removeOrphanFiles deletes only unreferenced dirs older than the threshold") {
     import spark.implicits._
     val root = dir()
     SnapshotTable.write(Seq(1).toDF("id"), root, "live")
     // a crashed writer's residue: data committed, manifest never linked
     Seq(2).toDF("id").write.parquet(s"$root/data/v9-deadbeef")
+
+    // default 24 h threshold spares the young dir — it is
+    // indistinguishable from an IN-FLIGHT writer's dir
+    assert(SnapshotTable.removeOrphanFiles(root).isEmpty,
+      "a young orphan must be spared (could be an in-flight writer)")
+
+    // age the orphan past the cutoff; the live dir stays untouchable
+    // whatever its age
+    Files.setLastModifiedTime(java.nio.file.Paths.get(s"$root/data/v9-deadbeef"),
+      java.nio.file.attribute.FileTime.fromMillis(System.currentTimeMillis() - 48L * 3600 * 1000))
     val gone = SnapshotTable.removeOrphanFiles(root)
     assert(gone == Seq("data/v9-deadbeef"))
     assert(SnapshotTable.read(spark, root).count() == 1, "orphan cleanup touched live data")
-    assert(SnapshotTable.removeOrphanFiles(root).isEmpty)
+    assert(SnapshotTable.removeOrphanFiles(root, olderThanMillis = 0).isEmpty)
   }
 
   test("concurrent commit of the same version fails loudly; crashed writer leaves no snapshot") {
