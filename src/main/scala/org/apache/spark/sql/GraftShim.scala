@@ -1,5 +1,6 @@
 package org.apache.spark.sql
 
+import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge to the `private[sql]` Column ↔ Expression converters of the
@@ -9,4 +10,12 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftShim {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Drive a SparkSessionExtensions' collected function injections into
+    * a live registry — what SparkSession.Builder does internally when
+    * `spark.sql.extensions` is set (`registerFunctions` is
+    * `private[sql]`; tests use this to exercise the real injection
+    * path). */
+  def registerInto(ext: SparkSessionExtensions, registry: FunctionRegistry): Unit =
+    ext.registerFunctions(registry)
 }
