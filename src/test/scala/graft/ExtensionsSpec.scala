@@ -109,6 +109,30 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(sqlNorm(0) == "hello world")
   }
 
+  test("SQL-name kernels stay inside WholeStageCodegen (no interpreted fallback)") {
+    registered()
+    // over a real parquet scan (a local relation would constant-fold the
+    // whole projection into a LocalTableScan and prove nothing)
+    val df = spark.read
+      .parquet("/root/testdata/sf0.001/documents.parquet")
+      .selectExpr(
+        "graft_jaro_winkler(lang, substring(text, 1, 8)) AS jw",
+        "graft_simhash64(text) AS sh",
+        "graft_minhash_band_keys(text, 5, 64, 16) AS mh",
+        "graft_norm_text(text) AS n")
+    val plan = df.queryExecution.executedPlan.toString
+    // the executed plan renders WholeStageCodegen spans as a `*(n)`
+    // prefix; the Project holding all four kernels must carry one
+    val proj = plan.linesIterator.find(_.contains("Project")).getOrElse("")
+    assert(proj.trim.startsWith("*("), plan.take(2000))
+    Seq("jaro_winkler(", "simhash64(", "minhash_band_keys(").foreach { k =>
+      assert(proj.contains(k), s"$k not in codegen'd Project: ${plan.take(2000)}")
+    }
+    // and column pruning reached the scan: only the two referenced columns
+    assert(plan.contains("ReadSchema: struct<text:string,lang:string>"), plan.take(2000))
+    assert(df.count() > 0) // and it executes
+  }
+
   test("config arguments must be constants; arity is enforced") {
     registered()
     import spark.implicits._
