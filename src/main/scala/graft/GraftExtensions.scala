@@ -23,8 +23,10 @@ import graft.functions.{JaroWinklerExpr, JaroWinklerGate, MinHashBandsExpr, SimH
   * src/db/schema.sql — this is the Spark-native analog).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftFunctions.descriptions.foreach(ext.injectFunction)
+    GraftFunctions.tableDescriptions.foreach(ext.injectTableFunction)
+  }
 }
 
 object GraftFunctions {
@@ -32,12 +34,19 @@ object GraftFunctions {
   type Description =
     (FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)
 
+  type TableDescription =
+    (FunctionIdentifier, ExpressionInfo, Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+
   /** Register every graft SQL function on a live session (idempotent:
     * re-registration replaces the previous binding). */
-  def register(spark: SparkSession): Unit =
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (id, info, builder) =>
       spark.sessionState.functionRegistry.registerFunction(id, info, builder)
     }
+    tableDescriptions.foreach { case (id, info, builder) =>
+      spark.sessionState.tableFunctionRegistry.registerFunction(id, info, builder)
+    }
+  }
 
   // --- constant-argument extraction -------------------------------
   // Config arguments (k, bands, cutoff, ...) parameterize codegen and
@@ -187,5 +196,58 @@ object GraftFunctions {
       arity(args, "graft_norm_text", 1)
       normTextExpr(args(0))
     }
+  )
+
+  private def stringArg(e: Expression, what: String): String = constVal(e, what) match {
+    case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+    case s: String => s
+    case other => throw new IllegalArgumentException(s"$what must be a string, got: $other")
+  }
+
+  /** The SQL TABLE-function surface (`injectTableFunction`):
+    *
+    *   SELECT * FROM graft_snapshot('/path/to/table')           -- latest
+    *   SELECT * FROM graft_snapshot('/path/to/table', 3)        -- time travel
+    *   SELECT * FROM graft_snapshot('/path/to/table', 'v1-tag') -- by tag
+    *
+    * resolves at ANALYSIS time to the snapshot's parquet scan plan, so
+    * everything downstream is ordinary Catalyst — filters on partition
+    * columns prune directories, column pruning reaches the scan, joins
+    * broadcast. This is the pure-SQL face of [[graft.sources.SnapshotTable]]
+    * time travel (Iceberg's `VERSION AS OF`, which plain parquet SQL has
+    * no syntax for; reference analog: versioned model tables,
+    * src/db/schema.sql). */
+  val tableDescriptions: Seq[TableDescription] = Seq(
+    (
+      new FunctionIdentifier("graft_snapshot"),
+      new ExpressionInfo(
+        classOf[GraftExtensions].getName, null, "graft_snapshot",
+        "graft_snapshot(root[, version | tag]) - reads a graft snapshot table: latest snapshot, a pinned version (int), or a named tag (string).",
+        ""),
+      (args: Seq[Expression]) => {
+        arity(args, "graft_snapshot", 1, 2)
+        val root = stringArg(args(0), "graft_snapshot root")
+        val spark = SparkSession.active
+        val version: Int =
+          if (args.length == 1) {
+            val vs = graft.sources.SnapshotTable.versions(root)
+            if (vs.isEmpty)
+              throw new IllegalArgumentException(s"graft_snapshot: $root has no committed snapshots")
+            vs.last
+          } else constVal(args(1), "graft_snapshot version") match {
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              val t = graft.sources.SnapshotTable.tags(root)
+              t.getOrElse(s.toString, throw new IllegalArgumentException(
+                s"graft_snapshot: $root has no tag '$s' (tags: ${t.keys.toSeq.sorted.mkString(",")})"))
+            case _ => intArg(args(1), "graft_snapshot version")
+          }
+        // the analyzed child plan of the snapshot read: a resolved
+        // parquet relation (+ the manifest's column order) spliced in
+        // place of the function call — the analyzer leaves resolved
+        // subtrees alone and resolves the rest of the query around it
+        graft.sources.SnapshotTable.readAsOf(spark, root, version)
+          .queryExecution.analyzed
+      }
+    )
   )
 }

@@ -1,6 +1,6 @@
 package org.apache.spark.sql
 
-import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
+import org.apache.spark.sql.catalyst.analysis.{FunctionRegistry, TableFunctionRegistry}
 import org.apache.spark.sql.catalyst.expressions.Expression
 
 /** Bridge to the `private[sql]` Column ↔ Expression converters of the
@@ -18,4 +18,8 @@ object GraftShim {
     * path). */
   def registerInto(ext: SparkSessionExtensions, registry: FunctionRegistry): Unit =
     ext.registerFunctions(registry)
+
+  /** Same, for the injected TABLE functions (`injectTableFunction`). */
+  def registerTableInto(ext: SparkSessionExtensions, registry: TableFunctionRegistry): Unit =
+    ext.registerTableFunctions(registry)
 }

@@ -133,6 +133,46 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(df.count() > 0) // and it executes
   }
 
+  test("graft_snapshot table function: latest / time travel / tag, via both registration paths") {
+    import spark.implicits._
+    val root = java.nio.file.Files.createTempDirectory("ext_snap").toString
+    val v0 = sources.SnapshotTable.write(
+      Seq((1, "a", "p1"), (2, "b", "p2")).toDF("id", "s", "part"), root,
+      note = "v0", partitionBy = Some(Seq("part")))
+    sources.SnapshotTable.tag(root, "first", v0)
+    sources.SnapshotTable.write(
+      Seq((1, "a", "p1"), (3, "c", "p2")).toDF("id", "s", "part"), root, note = "v1")
+
+    // injection path (what spark.sql.extensions does for TVFs)
+    val ext = new SparkSessionExtensions
+    new GraftExtensions().apply(ext)
+    org.apache.spark.sql.GraftShim.registerTableInto(ext, spark.sessionState.tableFunctionRegistry)
+
+    val latest = spark.sql(s"SELECT id FROM graft_snapshot('$root') ORDER BY id").collect().map(_.getInt(0))
+    assert(latest.toSeq == Seq(1, 3))
+    val v0ByInt = spark.sql(s"SELECT id FROM graft_snapshot('$root', $v0) ORDER BY id").collect().map(_.getInt(0))
+    val v0ByTag = spark.sql(s"SELECT id FROM graft_snapshot('$root', 'first') ORDER BY id").collect().map(_.getInt(0))
+    assert(v0ByInt.toSeq == Seq(1, 2) && v0ByTag.toSeq == Seq(1, 2))
+
+    // live-session registration path exposes the same function
+    registered()
+    assert(spark.sql(s"SELECT count(*) AS c FROM graft_snapshot('$root')").collect().head.getLong(0) == 2L)
+
+    // the TVF resolves to the snapshot's parquet scan: a filter on the
+    // partition column reaches planning as a PartitionFilter (pruned
+    // directories, no data read from the other partition)
+    val pruned = spark.sql(s"SELECT id FROM graft_snapshot('$root', $v0) WHERE part = 'p2'")
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(part"), plan.take(2000))
+    assert(pruned.collect().map(_.getInt(0)).toSeq == Seq(2))
+
+    // unknown tag and empty-table errors are loud and name the problem
+    val e1 = intercept[Exception] { spark.sql(s"SELECT * FROM graft_snapshot('$root', 'nope')").collect() }
+    assert(e1.getMessage.contains("no tag"))
+    val e2 = intercept[Exception] { spark.sql(s"SELECT * FROM graft_snapshot('$root/absent')").collect() }
+    assert(e2.getMessage.contains("no committed snapshots"))
+  }
+
   test("config arguments must be constants; arity is enforced") {
     registered()
     import spark.implicits._
