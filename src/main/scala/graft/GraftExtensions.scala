@@ -61,7 +61,10 @@ object GraftFunctions {
 
   private def intArg(e: Expression, what: String): Int = constVal(e, what) match {
     case i: Int   => i
-    case l: Long  => math.toIntExact(l)
+    case l: Long  =>
+      if (l < Int.MinValue || l > Int.MaxValue)
+        throw new IllegalArgumentException(s"$what out of int range: $l")
+      l.toInt
     case s: Short => s.toInt
     case b: Byte  => b.toInt
     case other => throw new IllegalArgumentException(s"$what must be an integer, got: $other")
@@ -105,17 +108,17 @@ object GraftFunctions {
   }
   private def asDoubleArr(e: Expression): Expression =
     ArrayTransform(e, lam1(Cast(_, DoubleType)))
-  private def sumAgg(arr: Expression, term: (Expression, Expression) => Expression): Expression =
-    ArrayAggregate(arr, Literal(0.0), lam2((acc, v) => Add(acc, term(acc, v))), lam1(identity))
+  private def sumAgg(arr: Expression, term: Expression => Expression): Expression =
+    ArrayAggregate(arr, Literal(0.0), lam2((acc, v) => Add(acc, term(v))), lam1(identity))
 
   /** Catalyst twin of [[graft.ops.Similarity.cosine]] over double-cast
     * arrays (zero vectors → 0.0, no ANSI divide-by-zero). */
   private def cosineExpr(a0: Expression, b0: Expression): Expression = {
     val a = asDoubleArr(a0)
     val b = asDoubleArr(b0)
-    val dot = sumAgg(ZipWith(a, b, lam2(Multiply(_, _))), (_, v) => v)
-    val na  = sumAgg(a, (_, v) => Multiply(v, v))
-    val nb  = sumAgg(b, (_, v) => Multiply(v, v))
+    val dot = sumAgg(ZipWith(a, b, lam2(Multiply(_, _))), identity)
+    val na  = sumAgg(a, v => Multiply(v, v))
+    val nb  = sumAgg(b, v => Multiply(v, v))
     CaseWhen(
       Seq((And(GreaterThan(na, Literal(0.0)), GreaterThan(nb, Literal(0.0))),
         Divide(dot, Multiply(Sqrt(na), Sqrt(nb))))),
@@ -228,25 +231,20 @@ object GraftFunctions {
         arity(args, "graft_snapshot", 1, 2)
         val root = stringArg(args(0), "graft_snapshot root")
         val spark = SparkSession.active
-        val version: Int =
-          if (args.length == 1) {
-            val vs = graft.sources.SnapshotTable.versions(root)
-            if (vs.isEmpty)
-              throw new IllegalArgumentException(s"graft_snapshot: $root has no committed snapshots")
-            vs.last
-          } else constVal(args(1), "graft_snapshot version") match {
-            case s: org.apache.spark.unsafe.types.UTF8String =>
-              val t = graft.sources.SnapshotTable.tags(root)
-              t.getOrElse(s.toString, throw new IllegalArgumentException(
-                s"graft_snapshot: $root has no tag '$s' (tags: ${t.keys.toSeq.sorted.mkString(",")})"))
-            case _ => intArg(args(1), "graft_snapshot version")
-          }
         // the analyzed child plan of the snapshot read: a resolved
         // parquet relation (+ the manifest's column order) spliced in
         // place of the function call — the analyzer leaves resolved
         // subtrees alone and resolves the rest of the query around it
-        graft.sources.SnapshotTable.readAsOf(spark, root, version)
-          .queryExecution.analyzed
+        val df =
+          if (args.length == 1) graft.sources.SnapshotTable.read(spark, root)
+          else constVal(args(1), "graft_snapshot version") match {
+            case s: org.apache.spark.unsafe.types.UTF8String =>
+              graft.sources.SnapshotTable.readTag(spark, root, s.toString)
+            case _ =>
+              graft.sources.SnapshotTable.readAsOf(
+                spark, root, intArg(args(1), "graft_snapshot version"))
+          }
+        df.queryExecution.analyzed
       }
     )
   )

@@ -130,7 +130,11 @@ class ExtensionsSpec extends AnyFunSuite {
     }
     // and column pruning reached the scan: only the two referenced columns
     assert(plan.contains("ReadSchema: struct<text:string,lang:string>"), plan.take(2000))
-    assert(df.count() > 0) // and it executes
+    // execute THROUGH the codegen'd path, consuming every kernel column —
+    // a bare count() would let the optimizer prune the whole Project
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => !r.isNullAt(0) && r.getSeq[Long](2).length == 16))
   }
 
   test("graft_snapshot table function: latest / time travel / tag, via both registration paths") {
