@@ -19,7 +19,19 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * replayable sampling, the q48 pattern), each replicate's effect one
   * IEEE division of exact Longs, and the p05/p50/p95 bands are
   * row_number order statistics. Reference:
-  * uncertainty_quantification.py:137-260, hybrid_engine.py:244-327. */
+  * uncertainty_quantification.py:137-260, hybrid_engine.py:244-327.
+  *
+  * q53: the full attribution REPORT as one oracled surface — the
+  * deterministic twin of `op_attr_report` (integrated_pipeline.py's
+  * final deliverable: per-channel point estimates from every engine
+  * plus uncertainty bands in one table). Point estimates come from the
+  * q49 integer blend (removal share m_num/m_den, Shapley share
+  * phi_num/s_den, hybrid share — each ONE IEEE division of exact
+  * Longs) and the bands from the q50 deterministic bootstrap; the
+  * oracle stitches the two proven CTE blocks over one shared game
+  * prelude. op_attr_report itself stays rows-only (its Gaussian-elim
+  * absorption solve and RNG bootstrap are the non-replayable parts —
+  * q51 twins the former, this twins the rest). */
 object Analytics7 {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -32,6 +44,29 @@ object Analytics7 {
       graft.attribution.Uncertainty.bootstrapRemovalDF(t(s, dir, "events"), reps = 64)),
     "q51_absorption_horizon" -> ((s, dir) =>
       graft.attribution.Attribution.absorptionHorizonDF(t(s, dir, "events"), horizon = 48)),
+    "q53_attribution_report" -> ((s, dir) => {
+      import org.apache.spark.sql.functions.{col, lit, when}
+      val ev = t(s, dir, "events")
+      val hybrid = graft.attribution.Shapley.hybridScaledDF(ev, alphaNum = 2L, alphaDen = 5L)
+      val bands = graft.attribution.Uncertainty.bootstrapRemovalDF(ev, reps = 64)
+      // both channel vocabularies are the distinct channels on
+      // converting paths (hybridScaledDF unions its two arms; the
+      // bootstrap's explode covers every such channel in every
+      // replicate), so the inner join is lossless
+      hybrid.join(bands, Seq("channel"))
+        .select(
+          col("channel"),
+          col("m_num"), col("m_den"),
+          when(col("m_den") > 0,
+            col("m_num").cast("double") / col("m_den").cast("double"))
+            .otherwise(lit(0.0)).as("removal_share"),
+          col("phi_num"), col("s_den"),
+          when(col("s_den") > 0,
+            col("phi_num").cast("double") / col("s_den").cast("double"))
+            .otherwise(lit(0.0)).as("shapley_share"),
+          col("hybrid_share"),
+          col("n_reps"), col("re_lo"), col("re_med"), col("re_hi"))
+    }),
     // exact per-point silhouette of the q41-style deterministic-Lloyd
     // partition of the embeddings — the k-selection criterion's
     // arithmetic cross-engine (sqrt is correctly-rounded IEEE; every
@@ -204,6 +239,75 @@ object Analytics7 {
            max(CASE WHEN rk = 4 THEN re END) AS re_lo,
            max(CASE WHEN rk = 32 THEN re END) AS re_med,
            max(CASE WHEN rk = 61 THEN re END) AS re_hi
-         FROM rk GROUP BY channel"""
+         FROM rk GROUP BY channel""",
+    // q53 = the q49 point-estimate CTEs + the q50 band CTEs stitched
+    // over ONE shared game prelude, joined by channel — every emitted
+    // double is one IEEE division of exact Longs both engines computed
+    // identically
+    "q53_attribution_report" ->
+      s"""WITH ${Analytics6.shapleyGameCtes},
+         ${Analytics6.factCte},
+         phi AS (
+           SELECT c.ch AS channel,
+             CAST(sum(fs.f * fn.f * (v1.v - v0.v)) AS BIGINT) AS phi_num
+           FROM chans c
+           JOIN masks m ON (m.mask & (1 << c.i)) = 0
+           JOIN vraw v0 ON v0.mask = m.mask
+           JOIN vraw v1 ON v1.mask = (m.mask | (1 << c.i))
+           JOIN fact fs ON fs.i = bit_count(m.mask)
+           JOIN fact fn ON fn.i = (SELECT n FROM nn) - bit_count(m.mask) - 1
+           GROUP BY c.ch),
+         mkv AS (
+           SELECT event_type AS channel, CAST(count(DISTINCT user_id) AS BIGINT) AS m_num
+           FROM kept GROUP BY event_type),
+         md AS (SELECT CAST(sum(m_num) AS BIGINT) AS m_den FROM mkv),
+         sd AS (SELECT CAST(sum(phi_num) AS BIGINT) AS s_den FROM phi),
+         hyb AS (
+           SELECT coalesce(p.channel, m.channel) AS channel,
+             coalesce(m.m_num, 0) AS m_num, md.m_den,
+             coalesce(p.phi_num, 0) AS phi_num, sd.s_den
+           FROM phi p FULL OUTER JOIN mkv m USING (channel), md, sd),
+         chan AS (SELECT DISTINCT user_id, event_type AS channel FROM kept),
+         reps AS (SELECT unnest(range(0, 64)) AS r),
+         hw AS (
+           SELECT r.r, f.user_id,
+             CAST(('0x' || substr(md5(CAST(r.r AS VARCHAR) || '|' || CAST(f.user_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+           FROM reps r CROSS JOIN fc f),
+         w AS (SELECT r, user_id, $poissonCase AS w FROM hw),
+         rtot AS (SELECT r, CAST(sum(w) AS BIGINT) AS total_w FROM w GROUP BY r),
+         lost AS (
+           SELECT w.r, c.channel, CAST(sum(w.w) AS BIGINT) AS lost_w
+           FROM w JOIN chan c ON w.user_id = c.user_id
+           GROUP BY 1, 2),
+         re AS (
+           SELECT l.channel, l.r,
+             CASE WHEN t.total_w > 0
+               THEN CAST(l.lost_w AS DOUBLE) / CAST(t.total_w AS DOUBLE)
+               ELSE 0.0 END AS re
+           FROM lost l JOIN rtot t USING (r)),
+         rk AS (
+           SELECT channel, re,
+             row_number() OVER (PARTITION BY channel ORDER BY re, r) AS rk
+           FROM re),
+         bands AS (
+           SELECT channel, CAST(count(*) AS BIGINT) AS n_reps,
+             max(CASE WHEN rk = 4 THEN re END) AS re_lo,
+             max(CASE WHEN rk = 32 THEN re END) AS re_med,
+             max(CASE WHEN rk = 61 THEN re END) AS re_hi
+           FROM rk GROUP BY channel)
+         SELECT h.channel, h.m_num, h.m_den,
+           CASE WHEN h.m_den > 0
+             THEN CAST(h.m_num AS DOUBLE) / CAST(h.m_den AS DOUBLE)
+             ELSE 0.0 END AS removal_share,
+           h.phi_num, h.s_den,
+           CASE WHEN h.s_den > 0
+             THEN CAST(h.phi_num AS DOUBLE) / CAST(h.s_den AS DOUBLE)
+             ELSE 0.0 END AS shapley_share,
+           CASE WHEN 5 * h.m_den * h.s_den > 0
+             THEN CAST(2 * h.m_num * h.s_den + 3 * h.phi_num * h.m_den AS DOUBLE)
+                / CAST(5 * h.m_den * h.s_den AS DOUBLE)
+             ELSE 0.0 END AS hybrid_share,
+           b.n_reps, b.re_lo, b.re_med, b.re_hi
+         FROM hyb h JOIN bands b USING (channel)"""
   )
 }

@@ -125,8 +125,12 @@ object OpsQueries {
 
     // full attribution report: distributed transition counts + coalition
     // table, then the driver-side engines (absorption Markov, exact
-    // Shapley, hybrid blend, bootstrap CI). Rows-only (matrix absorption
-    // is not SQL-expressible); AttributionSpec carries analytic oracles.
+    // Shapley, hybrid blend, bootstrap CI). Rows-only: the Gaussian-elim
+    // absorption solve (data-dependent pivoting) and the RNG bootstrap
+    // are the non-replayable parts — q51 twins the former via the
+    // horizon-bounded recursion and q53 is the deterministic oracled
+    // twin of this whole report; AttributionSpec carries analytic
+    // oracles for the engines themselves.
     "op_attr_report" -> ((s, dir) => {
       import s.implicits._
       import graft.attribution.{Attribution, Shapley, Uncertainty}
