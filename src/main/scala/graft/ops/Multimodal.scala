@@ -193,6 +193,31 @@ object Multimodal {
       }
   }
 
+  final case class MediaParam(doc_id: String, sel: Long, p1: Long, p2: Long)
+
+  /** Cross-engine encode→parse round trip (q54): parameters arrive as
+    * SQL-expressible md5-derived integers, a REAL payload is encoded
+    * with [[MediaGen]] and re-parsed with [[MediaCodec.decode]] — so an
+    * analytic oracle that never sees a byte can still predict exactly
+    * what the parse must return. sel: 0 png / 1 jpeg / 2 wav; p1/p2:
+    * nonnegative hash-derived params (dims, sample rate, channels).
+    * For WAV the decoded (width, height) carries (sample_rate,
+    * channels), matching decode()'s contract. */
+  def roundTrip(params: Dataset[MediaParam]): DataFrame = {
+    import params.sparkSession.implicits._
+    params.mapPartitions { it =>
+      it.map { p =>
+        val payload = p.sel match {
+          case 0L => MediaGen.png(p.p1, (4 + p.p1 % 29).toInt, (4 + p.p2 % 29).toInt)
+          case 1L => MediaGen.jpeg((16 + p.p1 % 1904).toInt, (16 + p.p2 % 1064).toInt)
+          case _  => MediaGen.wav(p.p1, Array(8000, 16000, 44100)((p.p1 % 3).toInt), (1 + p.p2 % 2).toInt)
+        }
+        val (fmt, w, h) = MediaCodec.decode(payload)
+        (p.doc_id, fmt, w.toLong, h.toLong)
+      }
+    }.toDF("doc_id", "format", "width", "height")
+  }
+
   /** Batched decode + feature extraction: one partition = one batch,
     * kernels invoked per row inside the partition iterator (the
     * mapInPandas-equivalent shape — amortizes any per-batch decoder

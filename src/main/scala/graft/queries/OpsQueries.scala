@@ -4,9 +4,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.ops.{Dedup, Multimodal, Similarity, TextAnalysis}
 
-/** Rows-only queries (no SQL-expressible oracle) for the near-dup /
-  * similarity / text-analysis / multimodal operators. Correctness is
-  * covered by the ops ScalaTest specs with planted ground truth. */
+/** Op-surface queries for the near-dup / similarity / text-analysis /
+  * multimodal operators. Most are rows-only (their machinery has
+  * oracled md5 twins — q28/q32/q33/q34 — or planted-truth ScalaTest
+  * specs); op_text_profile and q54_media_decode carry direct DuckDB
+  * oracles. */
 object OpsQueries {
 
   private def docs(s: SparkSession, dir: String): DataFrame =
@@ -162,6 +164,29 @@ object OpsQueries {
         "dirichlet_lo", "dirichlet_hi")
     }),
 
+    // q54: the media codec path ORACLED — md5-derived parameters (both
+    // engines can compute them), then Spark encodes a REAL payload
+    // (PNG zlib IDAT + CRC32 chunks / baseline-JPEG markers / RIFF
+    // WAVE) and re-parses it with the production MediaCodec, while the
+    // oracle predicts the parse result analytically without seeing a
+    // byte. A decode or encode bug of even one header field breaks the
+    // cross-engine hash. (PNG n_bytes stays un-oracled by design:
+    // deflate output size is encoder-specific.)
+    "q54_media_decode" -> ((s, dir) => {
+      import s.implicits._
+      val params = s.read.parquet(s"$dir/documents.parquet")
+        .select(
+          col("doc_id").cast("string").as("doc_id"),
+          md5(concat(lit("m54|"), col("doc_id").cast("string"))).as("h"))
+        .select(
+          col("doc_id"),
+          (conv(substring(col("h"), 1, 15), 16, 10).cast("long") % 3).as("sel"),
+          conv(substring(col("h"), 16, 8), 16, 10).cast("long").as("p1"),
+          conv(substring(col("h"), 24, 8), 16, 10).cast("long").as("p2"))
+        .as[Multimodal.MediaParam]
+      Multimodal.roundTrip(params)
+    }),
+
     // multimodal: synthesized payloads -> batched stub decode + features
     "op_media_features" -> ((s, dir) => {
       val fixtureDocs = Resolution.staged(s, Resolution.scaleFor(dir)).docs
@@ -221,7 +246,32 @@ object OpsQueries {
            FROM m)
          SELECT lang_guess, count(*) AS n_docs,
            CAST(sum(CASE WHEN quality >= 0.8 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_quality
-         FROM g GROUP BY lang_guess"""
+         FROM g GROUP BY lang_guess""",
+      // q54: the analytic half of the codec round trip — predicts the
+      // production parser's output from the md5-derived parameters
+      // alone (Spark's side actually encodes and re-parses real bytes)
+      "q54_media_decode" ->
+        """WITH p AS (
+           SELECT CAST(doc_id AS VARCHAR) AS doc_id,
+             md5('m54|' || CAST(doc_id AS VARCHAR)) AS h
+           FROM documents),
+         d AS (
+           SELECT doc_id,
+             CAST(('0x' || substr(h, 1, 15)) AS BIGINT) % 3 AS sel,
+             CAST(('0x' || substr(h, 16, 8)) AS BIGINT) AS p1,
+             CAST(('0x' || substr(h, 24, 8)) AS BIGINT) AS p2
+           FROM p)
+         SELECT doc_id,
+           CASE sel WHEN 0 THEN 'png' WHEN 1 THEN 'jpeg' ELSE 'wav' END AS format,
+           CASE sel WHEN 0 THEN 4 + p1 % 29
+                    WHEN 1 THEN 16 + p1 % 1904
+                    ELSE CASE p1 % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END
+           END AS width,
+           CASE sel WHEN 0 THEN 4 + p2 % 29
+                    WHEN 1 THEN 16 + p2 % 1064
+                    ELSE 1 + p2 % 2
+           END AS height
+         FROM d"""
     )
   }
 }

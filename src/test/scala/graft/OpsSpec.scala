@@ -188,4 +188,22 @@ class OpsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(h1 == h2)
   }
+
+  test("multimodal roundTrip: analytic parameter prediction matches the real encode->parse") {
+    import spark.implicits._
+    // planted params covering all three formats and the wav rate/channel arms
+    val params = Seq(
+      Multimodal.MediaParam("a", 0L, 30L, 5L),   // png 4+30%29=5 x 4+5%29=9
+      Multimodal.MediaParam("b", 1L, 2000L, 70L), // jpeg 16+2000%1904=112 x 16+70%1064=86
+      Multimodal.MediaParam("c", 2L, 4L, 3L),    // wav rate [8000,16000,44100][4%3=1] ch 1+3%2=2
+      Multimodal.MediaParam("d", 2L, 3L, 2L)     // wav 8000 Hz, 1 ch
+    ).toDS()
+    val got = Multimodal.roundTrip(params)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3))).toSet
+    assert(got == Set(
+      ("a", "png", 5L, 9L),
+      ("b", "jpeg", 112L, 86L),
+      ("c", "wav", 16000L, 2L),
+      ("d", "wav", 8000L, 1L)))
+  }
 }
