@@ -120,6 +120,71 @@ object Blocking {
   ): DataFrame =
     candidatesFromKeys(materialize(docKeys(docs, cfg)), cfg)
 
+  /** The distinct key kinds of a key table, sorted by UTF-8 byte order
+    * (= Spark's string comparison) — the witness dedup enumerates them
+    * as per-kind conditional mins (see [[dedupWitness]]). One tiny
+    * driver action: kinds are a schema-class property (2 in the
+    * pipeline, ≤ bands in the md5 paths), and the scan is a pruned
+    * single-column pass with map-side partial distinct. */
+  private def distinctKinds(keys: DataFrame): Seq[String] =
+    keys.select("key_kind").distinct().collect().map(_.getString(0)).toSeq
+      .sortWith((x, y) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0)
+
+  /** Canonical-witness dedup of the raw per-block pair stream: one row
+    * per (doc_a, doc_b) carrying the MINIMUM (key_kind, block_key) of
+    * the blocks that produced the pair, plus the salt.
+    *
+    * `min(struct(key_kind, block_key))` is the semantic, but a struct
+    * min-buffer is not UnsafeRow-mutable, so Spark plans it as a
+    * SortAggregate — at bench scale that SORTED the ~30M-row raw pair
+    * stream twice (partial + final) and was the single largest CPU
+    * block in stage B (guide §2.3/§4: prefer hash-aggregatable
+    * built-ins in the hot path). With the kind set enumerated
+    * (`kinds`, sorted ascending), the same lexicographic min is
+    * expressible as per-kind conditional `min(long)` columns — plain
+    * fixed-width HashAggregate with map-side partial aggregation:
+    * witness kind = first kind with a non-null min, witness key = that
+    * min. Falls back to the struct form for degenerate kind sets
+    * (empty input, or an unbounded kind vocabulary that would bloat
+    * the aggregate). Output rows are IDENTICAL either way
+    * (BlockingWitnessSpec asserts exact equality). */
+  private def dedupWitness(raw: DataFrame, kinds: Seq[String], salts: Int): DataFrame = {
+    val salt =
+      pmod(xxhash64(col("doc_a"), col("doc_b")), lit(salts)).cast("int").as("salt")
+    if (kinds.isEmpty || kinds.size > 64) {
+      raw
+        .groupBy("doc_a", "doc_b")
+        .agg(min(struct(col("key_kind"), col("block_key"))).as("w"))
+        .select(
+          col("doc_a"), col("doc_b"),
+          col("w.key_kind").as("key_kind"),
+          col("w.block_key").as("block_key"),
+          salt
+        )
+    } else {
+      val aggs = kinds.zipWithIndex.map { case (k, i) =>
+        min(when(col("key_kind") === lit(k), col("block_key"))).as(s"wk_$i")
+      }
+      val kindExpr = kinds.zipWithIndex.foldRight(lit(null).cast("string")) {
+        case ((k, i), e) => when(col(s"wk_$i").isNotNull, lit(k)).otherwise(e)
+      }
+      val keyExpr =
+        if (kinds.size == 1) col("wk_0")
+        else coalesce(kinds.indices.map(i => col(s"wk_$i")): _*)
+      raw
+        .groupBy("doc_a", "doc_b")
+        .agg(aggs.head, aggs.tail: _*)
+        .select(
+          col("doc_a"), col("doc_b"),
+          kindExpr.as("key_kind"),
+          keyExpr.as("block_key"),
+          salt
+        )
+    }
+  }
+
   /** Pair generation from an already-materialized key table. */
   def candidatesFromKeys(keys: DataFrame, cfg: Cfg): DataFrame = {
     val kept = keys
@@ -128,20 +193,12 @@ object Blocking {
 
     val a = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_a"))
     val b = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_b"))
-    a.join(b, Seq("key_kind", "block_key"))
+    val raw = a.join(b, Seq("key_kind", "block_key"))
+      // salt over BOTH ids (applied inside dedupWitness): a hot doc_a's
+      // pairs must spread across salt buckets (a doc_a-only salt is
+      // constant per hot doc and cannot split its pair mass)
       .where(col("doc_a") < col("doc_b"))
-      .groupBy("doc_a", "doc_b")
-      .agg(min(struct(col("key_kind"), col("block_key"))).as("w"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        col("w.key_kind").as("key_kind"),
-        col("w.block_key").as("block_key"),
-        // salt over BOTH ids: a hot doc_a's pairs must spread across
-        // salt buckets (a doc_a-only salt is constant per hot doc and
-        // cannot split its pair mass)
-        pmod(xxhash64(col("doc_a"), col("doc_b")), lit(cfg.salts)).cast("int").as("salt")
-      )
+    dedupWitness(raw, distinctKinds(keys), cfg.salts)
       .repartitionByRange(col("doc_a"), col("salt"))
   }
 
@@ -188,17 +245,13 @@ object Blocking {
 
     val a = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_a"), col("is_new").as("new_a"))
     val b = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_b"), col("is_new").as("new_b"))
-    a.join(b, Seq("key_kind", "block_key"))
+    val raw = a.join(b, Seq("key_kind", "block_key"))
       .where(col("doc_a") < col("doc_b") && (col("new_a") || col("new_b")))
-      .groupBy("doc_a", "doc_b")
-      .agg(min(struct(col("key_kind"), col("block_key"))).as("w"))
-      .select(
-        col("doc_a"),
-        col("doc_b"),
-        col("w.key_kind").as("key_kind"),
-        col("w.block_key").as("block_key"),
-        pmod(xxhash64(col("doc_a"), col("doc_b")), lit(cfg.salts)).cast("int").as("salt")
-      )
+    // kinds from the NEW keys only (delta-sized scan): every touched
+    // block's (key_kind, block_key) appears among the new keys by the
+    // definition of `touched`, so the kept rows cannot carry a kind the
+    // increment lacks.
+    dedupWitness(raw, distinctKinds(newKeys), cfg.salts)
       .repartitionByRange(col("doc_a"), col("salt"))
   }
 
