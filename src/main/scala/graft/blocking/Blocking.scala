@@ -35,7 +35,12 @@ object Blocking {
       // functions/MinHashBands.scala) vs the explode→k-min-aggregate
       // formulation. Bit-identical band keys (BlockingFusedSpec);
       // the aggregate path is kept as the A/B + audit baseline.
-      fusedMinhash: Boolean = true
+      fusedMinhash: Boolean = true,
+      // stage-B join strategy for the census-cap join and the pair
+      // self-join: "shuffle_hash" forces hash builds (no sorts),
+      // "none" leaves the planner's sort-merge + AQE. A/B surface
+      // (tools/BlockHintAB); pair set identical either way.
+      joinHint: String = "shuffle_hash"
   ) {
     def rows: Int = minhashK / bands
     require(minhashK % bands == 0, "minhashK must be divisible by bands")
@@ -185,15 +190,29 @@ object Blocking {
     }
   }
 
-  /** Pair generation from an already-materialized key table. */
-  def candidatesFromKeys(keys: DataFrame, cfg: Cfg): DataFrame = {
+  /** Pair generation from an already-materialized key table. `census0`
+    * lets the caller share one materialized block census between pair
+    * generation and [[dropMetrics]] (the pipeline pins it with a
+    * localCheckpoint) instead of re-aggregating the key table per
+    * consumer. */
+  def candidatesFromKeys(keys: DataFrame, cfg: Cfg, census0: Option[DataFrame] = None): DataFrame = {
+    // SHUFFLE_HASH on the census/build sides (guide §3.1): unhinted,
+    // both the cap join and the pair self-join plan as SortMergeJoins
+    // and sort the full key table (and the census) per side; the hash
+    // build is a per-partition slice (distinct-blocks/partitions rows)
+    // and needs no sort. Equi-joins — row set unchanged (Cfg.joinHint
+    // A/Bs this; tools/BlockHintAB).
+    val h: DataFrame => DataFrame =
+      if (cfg.joinHint == "none") identity else (df: DataFrame) => df.hint(cfg.joinHint)
     val kept = keys
-      .join(blockSizes(keys).where(col("block_n") <= cfg.maxBlockSize), Seq("key_kind", "block_key"))
+      .join(
+        h(census0.getOrElse(blockSizes(keys)).where(col("block_n") <= cfg.maxBlockSize)),
+        Seq("key_kind", "block_key"))
       .select("key_kind", "block_key", "doc_id")
 
     val a = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_a"))
     val b = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_b"))
-    val raw = a.join(b, Seq("key_kind", "block_key"))
+    val raw = a.join(h(b), Seq("key_kind", "block_key"))
       // salt over BOTH ids (applied inside dedupWitness): a hot doc_a's
       // pairs must spread across salt buckets (a doc_a-only salt is
       // constant per hot doc and cannot split its pair mass)
@@ -238,14 +257,16 @@ object Blocking {
       .select(col("key_kind"), col("block_key"), col("doc_id"), lit(true).as("is_new"))
       .unionByName(oldInTouched)
 
+    val h: DataFrame => DataFrame =
+      if (cfg.joinHint == "none") identity else (df: DataFrame) => df.hint(cfg.joinHint)
     val kept = u
-      .join(blockSizes(u.select("key_kind", "block_key", "doc_id")).where(col("block_n") <= cfg.maxBlockSize),
+      .join(h(blockSizes(u.select("key_kind", "block_key", "doc_id")).where(col("block_n") <= cfg.maxBlockSize)),
         Seq("key_kind", "block_key"))
       .select("key_kind", "block_key", "doc_id", "is_new")
 
     val a = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_a"), col("is_new").as("new_a"))
     val b = kept.select(col("key_kind"), col("block_key"), col("doc_id").as("doc_b"), col("is_new").as("new_b"))
-    val raw = a.join(b, Seq("key_kind", "block_key"))
+    val raw = a.join(h(b), Seq("key_kind", "block_key"))
       .where(col("doc_a") < col("doc_b") && (col("new_a") || col("new_b")))
     // kinds from the NEW keys only (delta-sized scan): every touched
     // block's (key_kind, block_key) appears among the new keys by the
@@ -256,9 +277,11 @@ object Blocking {
   }
 
   /** Metrics rows for dropped (over-cap) blocks: count and the estimated
-    * pair mass dropped — Σ n·(n−1)/2 over dropped blocks. */
-  def dropMetrics(keys: DataFrame, cfg: Cfg): DataFrame = {
-    val dropped = blockSizes(keys).where(col("block_n") > cfg.maxBlockSize)
+    * pair mass dropped — Σ n·(n−1)/2 over dropped blocks. Pass the
+    * pinned census from the candidates build as `census0` to avoid a
+    * second aggregation pass over the key table. */
+  def dropMetrics(keys: DataFrame, cfg: Cfg, census0: Option[DataFrame] = None): DataFrame = {
+    val dropped = census0.getOrElse(blockSizes(keys)).where(col("block_n") > cfg.maxBlockSize)
     dropped.agg(
       count("*").cast("double").as("dropped_blocks"),
       coalesce(sum(col("block_n") * (col("block_n") - 1) / 2), lit(0.0)).as("dropped_pairs_est")

@@ -30,7 +30,10 @@ object ConnectedComponents {
       .agg(min(col("dst")).as("mnd"))
       .select(col("src"), least(col("src"), col("mnd")).as("mn"))
     sym
-      .join(m, "src")
+      // shuffle-hash build on the per-node min table (≤ one row per
+      // node): avoids the SortMergeJoin's sort of the symmetric edge
+      // stream in EVERY iteration of the fixpoint loop (guide §3.1)
+      .join(m.hint("shuffle_hash"), "src")
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("mn").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -46,7 +49,7 @@ object ConnectedComponents {
       .distinct()
     val m = dir.groupBy("src").agg(min(col("dst")).as("mn"))
     dir
-      .join(m, "src")
+      .join(m.hint("shuffle_hash"), "src")
       .select(col("dst").as("src"), col("mn").as("dst"))
       .unionByName(m.select(col("src"), col("mn").as("dst")))
       .where(col("src") =!= col("dst"))
@@ -90,15 +93,26 @@ object ConnectedComponents {
 
     if (cur.count() <= maxLocalEdges) {
       val spark = edges.sparkSession
-      val mapping = UnionFind.labelFrame(
-        spark,
-        UnionFind.minLabels(cur.collect()),
-        edges.schema("src").dataType,
-        "doc_id", "mapped"
-      )
+      val idType = edges.schema("src").dataType
+      // long ids (the pipeline's dictionary-encoded path): collect the
+      // edge list as UnsafeRows and run the primitive union-find — no
+      // per-edge boxing on either the collect or the find/union path.
+      // Labels are identical to the generic path (same union-by-min).
+      val labels: Seq[(Any, Any)] =
+        if (idType == org.apache.spark.sql.types.LongType) {
+          val rows = cur.queryExecution.executedPlan.executeCollect()
+          val n = rows.length
+          val src = new Array[Long](n)
+          val dst = new Array[Long](n)
+          var i = 0
+          while (i < n) { val r = rows(i); src(i) = r.getLong(0); dst(i) = r.getLong(1); i += 1 }
+          val (ks, vs) = UnionFind.minLabelsLong(src, dst)
+          ks.indices.map(j => (ks(j): Any, vs(j): Any))
+        } else UnionFind.minLabels(cur.collect())
+      val mapping = UnionFind.labelFrame(spark, labels, idType, "doc_id", "mapped")
       val assignments = nodes
         .select(col("doc_id"))
-        .join(mapping, Seq("doc_id"), "left")
+        .join(mapping.hint("shuffle_hash"), Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("mapped"), col("doc_id")).as("cluster_id"))
       return Result(assignments, 0)
     }
@@ -136,7 +150,7 @@ object ConnectedComponents {
 
     val assignments = nodes
       .select(col("doc_id"))
-      .join(labels, Seq("doc_id"), "left")
+      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
 
     Result(assignments, iter)

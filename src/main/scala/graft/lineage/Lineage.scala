@@ -40,6 +40,19 @@ object Lineage {
   def writeLineage(df: DataFrame, stage: String, runId: String, dir: String): Unit =
     lineageRows(df, stage, runId).coalesce(1).write.mode("append").parquet(s"$dir/lineage")
 
+  /** Write already-collected lineage rows (the caller computed them to
+    * read the per-stage row count out of the same pass — one aggregate
+    * job serves both lineage and the stage metrics, instead of a
+    * separate full count() per stage). */
+  def writeCollectedLineage(
+      spark: SparkSession,
+      rows: Array[org.apache.spark.sql.Row],
+      schema: org.apache.spark.sql.types.StructType,
+      dir: String
+  ): Unit =
+    spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      .coalesce(1).write.mode("append").parquet(s"$dir/lineage")
+
   def writeMetrics(
       spark: SparkSession,
       stage: String,

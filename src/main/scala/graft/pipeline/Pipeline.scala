@@ -142,11 +142,56 @@ object Pipeline {
 
   /** Checkpoint-stage writer shared by [[run]] and [[runDelta]]: write
     * to `runDir/name` with `_SUCCESS`-gated idempotent resume, lineage
-    * rows and a metrics table. */
+    * rows and a metrics table.
+    *
+    * Round-6 latency change (guide §2.6 "overlap independent jobs"):
+    * the lineage aggregation and the metrics jobs of a committed stage
+    * run on a small background pool, so the NEXT stage's compute
+    * backfills the cores they leave idle instead of waiting behind
+    * them (at bench scale the blocking stage's lineage+metrics jobs
+    * were ~300 core-s of purely sequential tail). The stage row count
+    * is read out of the lineage pass itself (sum of per-partition
+    * output_rows) instead of a separate count() job — `metrics`
+    * therefore receives (stage output, total rows). Appends to the
+    * shared lineage/metrics tables are serialized by a lock (two
+    * concurrent FileOutputCommitter runs on one path collide in
+    * `_temporary/0`), and [[await]] rethrows any background failure
+    * before the pipeline returns, so a caller still observes every
+    * guard/metric error — at the end of the run instead of at the
+    * stage boundary. Crash-window semantics are unchanged in kind: a
+    * kill between a stage `_SUCCESS` and its metrics append already
+    * lost the metrics rows before this change; the window is merely
+    * wider, and a resume recomputes nothing either way. */
   private final class Ckpt(spark: SparkSession, runDir: String, runId: String) {
+    private val metaLock = new Object
+    private val pending = new java.util.concurrent.ConcurrentLinkedQueue[scala.concurrent.Future[Unit]]()
+    private val metaEc: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutor(
+        java.util.concurrent.Executors.newFixedThreadPool(2, (r: Runnable) => {
+          val t = new Thread(r, "ckpt-meta"); t.setDaemon(true); t
+        }))
+
+    /** Submit background lineage+metrics work for a stage that just
+      * committed. `lineageOf` is hashed in one pass that also yields
+      * the row count handed to `metrics`. */
+    def meta(name: String, lineageOf: DataFrame, wallMs: Double)(
+        metrics: Long => Seq[(String, Double)]
+    ): Unit =
+      pending.add(scala.concurrent.Future {
+        val lr = Lineage.lineageRows(lineageOf, name, runId)
+        val schema = lr.schema
+        val rows = lr.collect()
+        val total = rows.iterator.map(_.getLong(3)).sum
+        val ms = metrics(total) :+ ("wall_ms" -> wallMs)
+        metaLock.synchronized {
+          Lineage.writeCollectedLineage(spark, rows, schema, runDir)
+          Lineage.writeMetrics(spark, name, runId, ms, runDir)
+        }
+      }(metaEc))
+
     def stage(
         name: String,
-        metrics: DataFrame => Seq[(String, Double)] = _ => Nil,
+        metrics: (DataFrame, Long) => Seq[(String, Double)] = (_, _) => Nil,
         partitionCols: Seq[String] = Nil
     )(
         compute: => DataFrame
@@ -157,10 +202,20 @@ object Pipeline {
         compute.write.mode("overwrite").partitionBy(partitionCols: _*).parquet(path)
         val out = spark.read.parquet(path)
         val wallMs = (System.nanoTime() - t0) / 1e6
-        Lineage.writeLineage(out, name, runId, runDir)
-        Lineage.writeMetrics(spark, name, runId, metrics(out) :+ ("wall_ms" -> wallMs), runDir)
+        meta(name, out, wallMs)(total => metrics(out, total))
       }
       spark.read.parquet(path)
+    }
+
+    /** Barrier: every background lineage/metrics job has committed (or
+      * its failure is rethrown). Called before run/runDelta returns so
+      * the metrics table is complete for readers (Bench, resume). */
+    def await(): Unit = {
+      var f = pending.poll()
+      while (f != null) {
+        scala.concurrent.Await.result(f, scala.concurrent.duration.Duration.Inf)
+        f = pending.poll()
+      }
     }
   }
 
@@ -200,12 +255,18 @@ object Pipeline {
     if (!done(scoredPath)) {
       // Stage S0 — doc representations, checkpointed once and shared by
       // every scoring chunk (recomputing them per chunk would re-scan
-      // the whole input scoreChunks times)
+      // the whole input scoreChunks times). The media rep is
+      // independent of the text chain (text_rep → text_dict →
+      // text_ids), so it runs CONCURRENTLY with it (guide §2.6): its
+      // jobs backfill the text chain's shuffle/commit barriers instead
+      // of serializing after them.
+      val mediaFut = scala.concurrent.Future {
+        ck.stage("media_rep")(mediaDfFrac match {
+          case Some(f) => Scoring.mediaRepWithDf(docs, f)
+          case None => Scoring.mediaRep(docs)
+        })
+      }(scala.concurrent.ExecutionContext.global)
       val textRep = ck.stage("text_rep")(Scoring.textRep(docs))
-      val mediaRep = ck.stage("media_rep")(mediaDfFrac match {
-        case Some(f) => Scoring.mediaRepWithDf(docs, f)
-        case None => Scoring.mediaRep(docs)
-      })
 
       // Stage S1 (scorePath-dependent):
       //  - dict: dense span-text dictionary + id-encoded rep,
@@ -247,6 +308,9 @@ object Pipeline {
       // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
       val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
         dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
+
+      val mediaRep = scala.concurrent.Await.result(
+        mediaFut, scala.concurrent.duration.Duration.Inf)
 
       val t0 = System.nanoTime()
       // chunk-count marker: the stage read below globs every chunk=*
@@ -312,16 +376,20 @@ object Pipeline {
       finally pool.shutdown()
       val out = spark.read.parquet(scoredPath).drop("chunk")
       val wallMs = (System.nanoTime() - t0) / 1e6
-      Lineage.writeLineage(out, "scored_pairs", runId, runDir)
-      Lineage.writeMetrics(spark, "scored_pairs", runId, Seq(
-        "scored_pairs" -> out.count().toDouble,
-        "matched_pairs" -> out.where(col("is_match")).count().toDouble,
-        // dictionary-gate audit trail: the estimated broadcast bytes and
-        // whether the run was forced off the fused/dict path
-        "dict_bcast_bytes" -> dictBcastBytes.toDouble,
-        "dict_fallback" -> (if (wantDict && dictSide.isEmpty) 1.0 else 0.0),
-        "wall_ms" -> wallMs
-      ), runDir)
+      // lineage + metrics in the background (Ckpt.meta): the total
+      // comes from the lineage pass, the matched count is one pruned
+      // single-column job — clustering starts immediately and
+      // backfills both
+      ck.meta("scored_pairs", out, wallMs) { total =>
+        Seq(
+          "scored_pairs" -> total.toDouble,
+          "matched_pairs" -> out.where(col("is_match")).count().toDouble,
+          // dictionary-gate audit trail: the estimated broadcast bytes
+          // and whether the run was forced off the fused/dict path
+          "dict_bcast_bytes" -> dictBcastBytes.toDouble,
+          "dict_fallback" -> (if (wantDict && dictSide.isEmpty) 1.0 else 0.0)
+        )
+      }
       new java.io.File(s"$scoredPath/_SUCCESS").createNewFile()
     }
     spark.read.parquet(scoredPath).drop("chunk")
@@ -356,7 +424,7 @@ object Pipeline {
     val ck = new Ckpt(spark, runDir, runId)
     def stage(
         name: String,
-        metrics: DataFrame => Seq[(String, Double)] = _ => Nil,
+        metrics: (DataFrame, Long) => Seq[(String, Double)] = (_, _) => Nil,
         partitionCols: Seq[String] = Nil
     )(
         compute: => DataFrame
@@ -379,10 +447,13 @@ object Pipeline {
         .map { case (r, i) => (r.getString(0), i) }
         .toDF("orig_id", "nid")
     }
-    lazy val idMap = idMode match {
+    // pinned: mapBack joins it once per id column (two in the clusters
+    // stage alone) — without the pin each join re-scans the input and
+    // re-runs the distinct shuffle
+    lazy val idMap = (idMode match {
       case "dense" => denseDict
       case _ => docs0.select(col("doc_id").as("orig_id"), xxhash64(col("doc_id")).as("nid")).distinct()
-    }
+    }).localCheckpoint(true)
     val docs = idMode match {
       case "off" => docs0
       case "hash" => docs0.withColumn("doc_id", xxhash64(col("doc_id")))
@@ -395,7 +466,7 @@ object Pipeline {
     def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
       if (idMode == "off") df
       else idCols.foldLeft(df) { (d, c) =>
-        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")).hint("shuffle_hash"), c)
           .drop(c)
           .withColumnRenamed(s"${c}__s", c)
       }
@@ -415,9 +486,13 @@ object Pipeline {
     lazy val keys =
       if (cfg.persistForDelta) ck.stage("keys")(Blocking.docKeys(docs, cfg.blocking))
       else Blocking.docKeys(docs, cfg.blocking).localCheckpoint(true)
+    // block census pinned once, shared by pair generation AND the
+    // drop-accounting metrics (dropMetrics previously re-aggregated
+    // the whole key table a second time)
+    lazy val census = Blocking.blockSizes(keys).localCheckpoint(true)
     val candidates = stage(
       "candidates",
-      out => {
+      (_, total) => {
         if (idMode == "hash") {
           // loud collision guard: one pruned single-column pass per
           // fresh run; at 10¹² ids use dictMode = "dense" (collisions
@@ -430,9 +505,9 @@ object Pipeline {
           require(ids.getLong(0) == ids.getLong(1),
             s"xxhash64 doc_id collision (${ids.getLong(0)} ids -> ${ids.getLong(1)} hashes); rerun with dictIds=false")
         }
-        val drops = Blocking.dropMetrics(keys, cfg.blocking).head()
+        val drops = Blocking.dropMetrics(keys, cfg.blocking, Some(census)).head()
         Seq(
-          "candidate_pairs" -> out.count().toDouble,
+          "candidate_pairs" -> total.toDouble,
           "dropped_blocks" -> drops.getDouble(0),
           "dropped_pairs_est" -> drops.getDouble(1)
         )
@@ -450,7 +525,7 @@ object Pipeline {
       // pmod predicate is layout-independent).
       partitionCols = Seq(chunkCol)
     ) {
-      val base = Blocking.candidatesFromKeys(keys, cfg.blocking)
+      val base = Blocking.candidatesFromKeys(keys, cfg.blocking, Some(census))
         .withColumn(chunkCol, pmod(col("salt"), lit(cfg.scoreChunks)).cast("int"))
       if (cfg.compactCandidateFiles) base.repartition(cfg.scoreChunks, col(chunkCol))
       else base
@@ -475,9 +550,12 @@ object Pipeline {
     var ccIters = -1
     val clusters = stage(
       "clusters",
-      out => Seq(
-        "docs" -> out.count().toDouble,
-        "clusters" -> out.select("cluster_id").distinct().count().toDouble,
+      // row count from the lineage pass; distinct-cluster count is one
+      // pruned single-column aggregate (was: two separate full count
+      // jobs on top of the lineage scan)
+      (out, total) => Seq(
+        "docs" -> total.toDouble,
+        "clusters" -> out.agg(countDistinct(col("cluster_id"))).head().getLong(0).toDouble,
         "cc_iterations" -> ccIters.toDouble
       )
     ) {
@@ -515,6 +593,9 @@ object Pipeline {
     }
 
     graft.util.PhaseTracker.set("other")
+    // background lineage/metrics barrier: the metrics table must be
+    // complete (and any guard failure surfaced) before the run returns
+    ck.await()
     // drop EVERY chunk_<n> column, not just the current modulus: a
     // candidates checkpoint resumed under a different scoreChunks
     // carries its writer's chunk_<old> partition column, which would
@@ -693,10 +774,11 @@ object Pipeline {
       .union(newDocs0.select(col("doc_id").as("orig_id")))
       .distinct()
       .select(col("orig_id"), xxhash64(col("orig_id")).as("nid"))
+      .localCheckpoint(true)
     def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
       if (idMode == "off") df
       else idCols.foldLeft(df) { (d, c) =>
-        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")).hint("shuffle_hash"), c)
           .drop(c)
           .withColumnRenamed(s"${c}__s", c)
       }
@@ -744,8 +826,8 @@ object Pipeline {
     val chunkCol = s"chunk_${cfg.scoreChunks}"
     val candidates = ck.stage(
       "candidates",
-      out => Seq(
-        "candidate_pairs" -> out.count().toDouble,
+      (_, total) => Seq(
+        "candidate_pairs" -> total.toDouble,
         "new_docs" -> docsNew.count().toDouble
       ),
       partitionCols = Seq(chunkCol)
@@ -803,9 +885,9 @@ object Pipeline {
     var ccIters = -1
     val clusters = ck.stage(
       "clusters",
-      out => Seq(
-        "docs" -> out.count().toDouble,
-        "clusters" -> out.select("cluster_id").distinct().count().toDouble,
+      (out, total) => Seq(
+        "docs" -> total.toDouble,
+        "clusters" -> out.agg(countDistinct(col("cluster_id"))).head().getLong(0).toDouble,
         "cc_iterations" -> ccIters.toDouble
       )
     ) {
@@ -864,6 +946,7 @@ object Pipeline {
     }
 
     graft.util.PhaseTracker.set("other")
+    ck.await()
     val chunkCols = candidates.columns.filter(_.matches("chunk_\\d+"))
     Result(
       mapBack(candidates.drop(chunkCols: _*), Seq("doc_a", "doc_b")),

@@ -275,7 +275,11 @@ object Scoring {
     * against the dictionary; empty-texts docs keep an empty array). */
   def textIdsRep(txt: DataFrame, dict: DataFrame): DataFrame =
     txt.select(col("doc_id"), posexplode_outer(col("texts")).as(Seq("ia", "t")))
-      .join(dict, Seq("t"), "left")
+      // shuffle-hash build on the dictionary side: unhinted this is a
+      // SortMergeJoin that sorts the exploded span rows AND the
+      // dictionary by the text column (string sort) — the most
+      // expensive possible key (guide §3.1)
+      .join(dict.hint("shuffle_hash"), Seq("t"), "left")
       .groupBy("doc_id")
       .agg(
         sort_array(collect_list(when(col("ia").isNotNull, struct(col("ia"), col("tid")))))
@@ -379,7 +383,16 @@ object Scoring {
       // exchanges: 557 vs 469 stage-S CPU core-s, FusedAB) — so the
       // pipeline defaults it off (Cfg.broadcastRepsMaxDocs = 0) and
       // gates it on a doc-count/executor-memory threshold when on.
-      bcastReps: Boolean = false
+      bcastReps: Boolean = false,
+      // stage-S join strategy: "none" (default: planner sort-merge +
+      // AQE runtime conversion) or "shuffle_hash". MEASURED NEUTRAL on
+      // this box (tools/ScoreHintAB, interleaved noop-sink A/B ×3:
+      // SHJ 467-504 core-s vs SMJ 447-495 — the SMJ sorts are radix
+      // sorts over long keys and cost about what the hash-relation
+      // builds do), so the default stays with the planner, which AQE
+      // can still upgrade to broadcast at runtime. The knob remains
+      // the cluster-deployment A/B surface; results identical.
+      joinHint: String = "none"
   ): DataFrame = {
     // Two independent pair-grain branches joined on (doc_a, doc_b) —
     // deliberately NOT one join chain: a single chain would carry the
@@ -389,7 +402,17 @@ object Scoring {
     // path's 923 CPU core-s) despite the kernel itself being cheaper.
     // In this shape each array rides exactly ONE join — the same plan
     // as the exploded paths minus their Generate + hash aggregate.
-    val hint: DataFrame => DataFrame = if (bcastReps) broadcast else identity
+    //
+    // Join strategy (round 6, guide §3.1): `joinHint` can force
+    // SHUFFLE_HASH on every build side, eliminating the SMJ sorts of
+    // the pair stream (3 per branch). Measured NEUTRAL at bench scale
+    // (see the joinHint doc) — the sorts are radix sorts over long
+    // keys — so the planner default stays; the knob is the A/B
+    // surface for deployments where the trade differs.
+    val hint: DataFrame => DataFrame =
+      if (bcastReps) broadcast
+      else if (joinHint == "none") identity
+      else (df: DataFrame) => df.hint(joinHint)
     val pairs = candidates.select("doc_a", "doc_b")
     val textPair = pairs
       .join(hint(txtIds.select(col("doc_id").as("doc_a"), col("tids").as("tids_a"))), "doc_a")
@@ -406,7 +429,14 @@ object Scoring {
         col("r.mask_a").as("mask_a"),
         col("r.mask_b").as("mask_b")
       )
-    val joined = mediaPairScores(candidates, med, w, hint)
+    // branch-merge join: both branches end hash-partitioned on
+    // (doc_a, doc_b); hinting the (narrower) media branch as the hash
+    // build side avoids sorting both pair-grain streams. Left as-is
+    // under bcastReps (that mode's branches are broadcast-join chains).
+    val mediaPair0 = mediaPairScores(candidates, med, w, hint)
+    val mediaPair =
+      if (bcastReps || joinHint == "none") mediaPair0 else mediaPair0.hint(joinHint)
+    val joined = mediaPair
       .join(textPair, Seq("doc_a", "doc_b"))
       .withColumn("strong_a", bit_count(col("mask_a")).cast("long"))
       .withColumn("strong_b", bit_count(col("mask_b")).cast("long"))

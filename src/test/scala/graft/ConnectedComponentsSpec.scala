@@ -82,6 +82,39 @@ class ConnectedComponentsSpec extends AnyFunSuite {
     }
   }
 
+  test("long-id graphs: primitive union-find path matches BFS oracle and distributed path") {
+    // the pipeline's dictionary-encoded path: LongType ids (incl.
+    // negative xxhash64-range values) route the local path through
+    // UnionFind.minLabelsLong — labels must equal the generic result
+    val spark = SparkTestSession.spark
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val nodes = (0 until 200).map(_ => rnd.nextLong()).distinct
+    val edges = (0 until 150).map(_ => (nodes(rnd.nextInt(nodes.size)), nodes(rnd.nextInt(nodes.size))))
+    val oracle = {
+      val adj = scala.collection.mutable.Map.empty[Long, List[Long]].withDefaultValue(Nil)
+      edges.foreach { case (a, b) => adj(a) = b :: adj(a); adj(b) = a :: adj(b) }
+      val label = scala.collection.mutable.Map.empty[Long, Long]
+      nodes.foreach { n =>
+        if (!label.contains(n)) {
+          val seen = scala.collection.mutable.Set(n)
+          val q = scala.collection.mutable.Queue(n)
+          while (q.nonEmpty) { val u = q.dequeue(); adj(u).foreach(v => if (seen.add(v)) q.enqueue(v)) }
+          val m = seen.min
+          seen.foreach(v => label(v) = m)
+        }
+      }
+      label.toMap
+    }
+    val e = edges.toDF("src", "dst")
+    val n = nodes.toDF("doc_id")
+    for (cap <- Seq(0L, Long.MaxValue)) {
+      val got = ConnectedComponents.run(e, n, maxIter = 30, maxLocalEdges = cap)
+        .assignments.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == oracle, s"cap=$cap")
+    }
+  }
+
   test("cluster ids are component minimum (stable across reruns)") {
     val nodes = Seq("z9", "m5", "a1", "q7")
     val edges = Seq(("z9", "m5"), ("m5", "a1"))
