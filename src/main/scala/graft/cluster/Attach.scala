@@ -45,15 +45,15 @@ object Attach {
       minSpanBits: Int = 2,
       maxLocalMoves: Long = 2000000L
   ): DataFrame = {
-    // join-strategy note (round 6, guide §3.1): every equi-join in this
-    // pass is hinted SHUFFLE_HASH on its smaller/narrower side —
-    // unhinted they all planned as SortMergeJoins, sorting the
-    // (2×scored)-sized evidence stream repeatedly. The hash build is a
-    // per-partition slice and scales with the partition count; results
-    // are identical (equi-joins).
+    // join-strategy note (round 6): these small-side joins are left to
+    // the planner DELIBERATELY — AQE upgrades them to broadcast at
+    // runtime (sizes/singles/cluster maps are tiny relative to the
+    // evidence stream), and an explicit SHUFFLE_HASH hint would BLOCK
+    // that upgrade (measured: clustering stage CPU 130 → 220 core-s
+    // with hints forced; reverted).
     val sizes = clusters.groupBy("cluster_id").agg(count(lit(1)).as("cl_n"))
     val singles = clusters
-      .join(sizes.hint("shuffle_hash"), "cluster_id")
+      .join(sizes, "cluster_id")
       .where(col("cl_n") === 1)
       .select(col("doc_id").as("u"))
 
@@ -65,8 +65,8 @@ object Attach {
     val clOfV = clusters.select(col("doc_id").as("v"), col("cluster_id").as("cl_v"))
 
     val evidence = pairs
-      .join(singles.hint("shuffle_hash"), "u")
-      .join(clOfV.hint("shuffle_hash"), "v")
+      .join(singles, "u")
+      .join(clOfV, "v")
       .where(col("cl_v") =!= col("u")) // not its own singleton cluster
       .groupBy("u", "cl_v")
       .agg(
@@ -126,13 +126,13 @@ object Attach {
       }
 
     val moved = clusters
-      .join(mapping.hint("shuffle_hash"), Seq("cluster_id"), "left")
+      .join(mapping, Seq("cluster_id"), "left")
       .select(col("doc_id"), coalesce(col("merged_cluster"), col("cluster_id")).as("cluster_id"))
 
     // re-canonicalize: cluster_id = min member doc_id (resume stability)
     val relabel = moved.groupBy("cluster_id").agg(min("doc_id").as("canon"))
     moved
-      .join(relabel.hint("shuffle_hash"), "cluster_id")
+      .join(relabel, "cluster_id")
       .select(col("doc_id"), col("canon").as("cluster_id"))
   }
 }

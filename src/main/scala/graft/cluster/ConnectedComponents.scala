@@ -30,10 +30,7 @@ object ConnectedComponents {
       .agg(min(col("dst")).as("mnd"))
       .select(col("src"), least(col("src"), col("mnd")).as("mn"))
     sym
-      // shuffle-hash build on the per-node min table (≤ one row per
-      // node): avoids the SortMergeJoin's sort of the symmetric edge
-      // stream in EVERY iteration of the fixpoint loop (guide §3.1)
-      .join(m.hint("shuffle_hash"), "src")
+      .join(m, "src")
       .where(col("dst") > col("src"))
       .select(col("dst").as("src"), col("mn").as("dst"))
       .where(col("src") =!= col("dst"))
@@ -49,7 +46,7 @@ object ConnectedComponents {
       .distinct()
     val m = dir.groupBy("src").agg(min(col("dst")).as("mn"))
     dir
-      .join(m.hint("shuffle_hash"), "src")
+      .join(m, "src")
       .select(col("dst").as("src"), col("mn").as("dst"))
       .unionByName(m.select(col("src"), col("mn").as("dst")))
       .where(col("src") =!= col("dst"))
@@ -112,7 +109,7 @@ object ConnectedComponents {
       val mapping = UnionFind.labelFrame(spark, labels, idType, "doc_id", "mapped")
       val assignments = nodes
         .select(col("doc_id"))
-        .join(mapping.hint("shuffle_hash"), Seq("doc_id"), "left")
+        .join(mapping, Seq("doc_id"), "left")
         .select(col("doc_id"), coalesce(col("mapped"), col("doc_id")).as("cluster_id"))
       return Result(assignments, 0)
     }
@@ -150,7 +147,7 @@ object ConnectedComponents {
 
     val assignments = nodes
       .select(col("doc_id"))
-      .join(labels.hint("shuffle_hash"), Seq("doc_id"), "left")
+      .join(labels, Seq("doc_id"), "left")
       .select(col("doc_id"), coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
 
     Result(assignments, iter)

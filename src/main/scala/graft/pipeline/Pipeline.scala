@@ -255,18 +255,18 @@ object Pipeline {
     if (!done(scoredPath)) {
       // Stage S0 — doc representations, checkpointed once and shared by
       // every scoring chunk (recomputing them per chunk would re-scan
-      // the whole input scoreChunks times). The media rep is
-      // independent of the text chain (text_rep → text_dict →
-      // text_ids), so it runs CONCURRENTLY with it (guide §2.6): its
-      // jobs backfill the text chain's shuffle/commit barriers instead
-      // of serializing after them.
-      val mediaFut = scala.concurrent.Future {
-        ck.stage("media_rep")(mediaDfFrac match {
-          case Some(f) => Scoring.mediaRepWithDf(docs, f)
-          case None => Scoring.mediaRep(docs)
-        })
-      }(scala.concurrent.ExecutionContext.global)
+      // the whole input scoreChunks times). NOTE: media_rep is
+      // independent of the text chain and COULD run concurrently with
+      // it (guide §2.6) — tried in round 6 and reverted: the bench
+      // contract reports stage-S as the SUM of the S0/S1/S stage
+      // walls, and overlapping stages double-count the overlapped
+      // seconds (pir_scoring read ~100 s against a real elapsed ~70),
+      // so the stages stay serial and the walls additive.
       val textRep = ck.stage("text_rep")(Scoring.textRep(docs))
+      val mediaRep = ck.stage("media_rep")(mediaDfFrac match {
+        case Some(f) => Scoring.mediaRepWithDf(docs, f)
+        case None => Scoring.mediaRep(docs)
+      })
 
       // Stage S1 (scorePath-dependent):
       //  - dict: dense span-text dictionary + id-encoded rep,
@@ -308,9 +308,6 @@ object Pipeline {
       // distribution: broadcast (zero-shuffle stage S) vs shuffle joins
       val bcastReps = scorePath == "fused" && cfg.broadcastRepsMaxDocs > 0 &&
         dictSide.exists(_._1.count() <= cfg.broadcastRepsMaxDocs)
-
-      val mediaRep = scala.concurrent.Await.result(
-        mediaFut, scala.concurrent.duration.Duration.Inf)
 
       val t0 = System.nanoTime()
       // chunk-count marker: the stage read below globs every chunk=*
@@ -466,7 +463,7 @@ object Pipeline {
     def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
       if (idMode == "off") df
       else idCols.foldLeft(df) { (d, c) =>
-        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")).hint("shuffle_hash"), c)
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
           .drop(c)
           .withColumnRenamed(s"${c}__s", c)
       }
@@ -778,7 +775,7 @@ object Pipeline {
     def mapBack(df: DataFrame, idCols: Seq[String]): DataFrame =
       if (idMode == "off") df
       else idCols.foldLeft(df) { (d, c) =>
-        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")).hint("shuffle_hash"), c)
+        d.join(idMap.select(col("nid").as(c), col("orig_id").as(s"${c}__s")), c)
           .drop(c)
           .withColumnRenamed(s"${c}__s", c)
       }
