@@ -67,7 +67,18 @@ object MinHashKernel {
       val hm = java.lang.Math.floorMod(h, P)
       var j = 0
       while (j < k) {
-        val v = java.lang.Math.floorMod(hm * as_(j) + bs(j), P)
+        // x mod P for P = 2^31 − 1 without the 64-bit division
+        // (round 6; the idiv was the inner-loop bottleneck at k=48 per
+        // shingle): 2^31 ≡ 1 (mod P), so folding the high bits into
+        // the low 31 preserves the residue. x = hm·a + b < 2^62 and
+        // nonneg (hm < P, a < P, b < P), so two folds bring it to
+        // [0, 2^31] and one conditional subtract finishes — EXACTLY
+        // floorMod(x, P) on this range (BlockingFusedSpec asserts
+        // bit-equality against the declarative pmod chain).
+        val x = hm * as_(j) + bs(j)
+        var v = (x & P) + (x >>> 31)
+        v = (v & P) + (v >>> 31)
+        if (v >= P) v -= P
         if (v < mins(j)) mins(j) = v
         j += 1
       }
