@@ -41,7 +41,13 @@ object Fixture {
   val scales: Map[String, Cfg] = Map(
     "t1"    -> Cfg(entities = 50),
     "t2"    -> Cfg(entities = 500),
-    "bench" -> Cfg(entities = 5000)
+    "bench" -> Cfg(entities = 5000),
+    // 10× the bench point (~3.2M docs): the scale-ladder measurement
+    // (tools/ScaleLadder, round 6) — converts the 100 TB story's
+    // "plan shape says it scales" into a measured docs/s + pair-growth
+    // + memory point. Not reachable from the driver bench mapping
+    // (Resolution.scaleFor), so the frozen bench contract is unchanged.
+    "x10"   -> Cfg(entities = 50000)
   )
 
   private val syllables: Array[String] = Array(
