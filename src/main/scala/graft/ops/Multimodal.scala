@@ -207,6 +207,11 @@ object Multimodal {
     import params.sparkSession.implicits._
     params.mapPartitions { it =>
       it.map { p =>
+        // fail with the contract named, not a task-level array/encoding
+        // exception: a negative p1 would make (p1 % 3) negative in the
+        // wav-rate lookup and produce out-of-contract PNG/JPEG dims
+        require(p.p1 >= 0 && p.p2 >= 0,
+          s"MediaParam p1/p2 must be nonnegative (doc_id=${p.doc_id}, p1=${p.p1}, p2=${p.p2})")
         val payload = p.sel match {
           case 0L => MediaGen.png(p.p1, (4 + p.p1 % 29).toInt, (4 + p.p2 % 29).toInt)
           case 1L => MediaGen.jpeg((16 + p.p1 % 1904).toInt, (16 + p.p2 % 1064).toInt)
